@@ -1,0 +1,347 @@
+"""RWKV-v4 model as a functional JAX pytree.
+
+Design (TPU-first, not a port of the reference engine):
+
+  * Params are dataclass pytrees with a *stacked leading layer dim* on every
+    per-layer tensor, so the residual stack is one `lax.scan` over layers —
+    constant compile time in depth, and XLA pipelines layer weights from HBM.
+  * The sequence dim is batched through every matmul (MXU-sized [T, E] x
+    [E, *] products); only the elementwise WKV/token-shift recurrences scan
+    over T. The reference instead loops tokens serially inside every kernel
+    (include/rwkv/cuda/rwkv.cu:227) — that design would idle the MXU.
+  * State is an explicit functional pytree (5 tensors [L, ..., E], matching
+    the reference's RWKVState xy/aa/bb/pp/dd quintet,
+    include/rwkv/rwkv/rwkv.h:140-242); callers thread it, which makes
+    snapshot/branch/restore (storygen, vectordb) free.
+  * Weights are u8 QuantLinear (ops/quant.py) or plain dense arrays — the
+    forward is generic over either via qmatmul/`@`.
+
+Math parity: embeddings + ln0 + per-block att/ffn exactly as the reference
+forward (rwkv.cu:493-593); see ops/wkv.py for the recurrence form.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rwkv_tpu.models.config import RWKVConfig
+from rwkv_tpu.ops.layernorm import layer_norm
+from rwkv_tpu.ops.quant import QuantLinear, qmatmul, quantize
+from rwkv_tpu.ops.wkv import (
+    WKVChannelState,
+    empty_channel_state,
+    wkv_parallel,
+    wkv_scan,
+    wkv_step,
+)
+
+Linear = QuantLinear | jax.Array  # dense weights are plain [in, out] arrays
+
+
+def _matmul(x: jax.Array, w: Linear) -> jax.Array:
+    if isinstance(w, QuantLinear):
+        return qmatmul(x, w)
+    return x @ w
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LNParams:
+    weight: jax.Array  # [..., E]
+    bias: jax.Array    # [..., E]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AttParams:
+    """Time-mix (attention-analog) half of a block. Leading dim: L."""
+
+    mix_k: jax.Array  # [L, E]
+    mix_v: jax.Array  # [L, E]
+    mix_r: jax.Array  # [L, E]
+    key: Linear        # [L, E, E]
+    value: Linear      # [L, E, E]
+    receptance: Linear # [L, E, E]
+    output: Linear     # [L, E, E]
+    decay: jax.Array   # [L, E] — already -exp(time_decay)
+    bonus: jax.Array   # [L, E] — time_first
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FFNParams:
+    """Channel-mix half of a block. Leading dim: L."""
+
+    mix_k: jax.Array   # [L, E]
+    mix_r: jax.Array   # [L, E]
+    key: Linear        # [L, E, 4E]
+    value: Linear      # [L, 4E, E]
+    receptance: Linear # [L, E, E]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RWKVParams:
+    emb: jax.Array     # [V, E] float32
+    ln0: LNParams      # [E]
+    ln1: LNParams      # [L, E]
+    ln2: LNParams      # [L, E]
+    att: AttParams
+    ffn: FFNParams
+    ln_out: LNParams   # [E]
+    head: Linear       # [E, V]
+
+    @property
+    def n_layer(self) -> int:
+        return self.att.decay.shape[0]
+
+    @property
+    def n_embd(self) -> int:
+        return self.emb.shape[1]
+
+    @property
+    def vocab_size(self) -> int:
+        return self.emb.shape[0]
+
+    @property
+    def config(self) -> RWKVConfig:
+        return RWKVConfig(
+            n_layer=self.n_layer, n_embd=self.n_embd, vocab_size=self.vocab_size
+        )
+
+
+class WKVState(NamedTuple):
+    """Full recurrent state of one stream: 5 tensors [L, ..., E].
+
+    Mirrors the reference RWKVState (xy, aa, bb, pp, dd). The '...' middle
+    dims (if any) are stream/batch dims — vmap-compatible.
+    """
+
+    xy: jax.Array  # att token-shift memory
+    aa: jax.Array
+    bb: jax.Array
+    pp: jax.Array
+    dd: jax.Array  # ffn token-shift memory
+
+
+def init_state(
+    config: RWKVConfig, batch_shape: Tuple[int, ...] = (), dtype=jnp.float32
+) -> WKVState:
+    """Empty state: zeros except pp = -1e30 (converter/convert_model.py:19)."""
+    shape = (config.n_layer,) + tuple(batch_shape) + (config.n_embd,)
+    chan = empty_channel_state(shape, dtype)
+    return WKVState(
+        xy=jnp.zeros(shape, dtype),
+        aa=chan.aa,
+        bb=chan.bb,
+        pp=chan.pp,
+        dd=jnp.zeros(shape, dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-block halves. x and states carry arbitrary leading batch dims [..., E];
+# the sequence variants take x [T, ..., E].
+# ---------------------------------------------------------------------------
+
+
+def _att_seq(
+    x: jax.Array, layer: AttParams, ln: LNParams, xy: jax.Array, chan: WKVChannelState,
+    *, parallel: bool,
+) -> Tuple[jax.Array, jax.Array, WKVChannelState]:
+    """Time-mix over a sequence. x: [T, ..., E]; xy: [..., E] prior token."""
+    xx = layer_norm(x, ln.weight, ln.bias)
+    prev = jnp.concatenate([xy[None], xx[:-1]], axis=0)  # token-shift
+    k = _matmul(layer.mix_k * xx + (1 - layer.mix_k) * prev, layer.key)
+    v = _matmul(layer.mix_v * xx + (1 - layer.mix_v) * prev, layer.value)
+    r = _matmul(layer.mix_r * xx + (1 - layer.mix_r) * prev, layer.receptance)
+    wkv_fn = wkv_parallel if parallel else wkv_scan
+    y, chan = wkv_fn(k, v, chan, layer.decay, layer.bonus)
+    rwkv = jax.nn.sigmoid(r) * y
+    return x + _matmul(rwkv, layer.output), xx[-1], chan
+
+
+def _ffn_seq(
+    x: jax.Array, layer: FFNParams, ln: LNParams, dd: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Channel-mix over a sequence. x: [T, ..., E]; dd: [..., E]."""
+    xx = layer_norm(x, ln.weight, ln.bias)
+    prev = jnp.concatenate([dd[None], xx[:-1]], axis=0)
+    k_in = layer.mix_k * xx + (1 - layer.mix_k) * prev
+    r_in = layer.mix_r * xx + (1 - layer.mix_r) * prev
+    gate = jax.nn.sigmoid(_matmul(r_in, layer.receptance))
+    kk = jnp.square(jax.nn.relu(_matmul(k_in, layer.key)))
+    return x + gate * _matmul(kk, layer.value), xx[-1]
+
+
+def _att_step(
+    x: jax.Array, layer: AttParams, ln: LNParams, xy: jax.Array, chan: WKVChannelState
+) -> Tuple[jax.Array, jax.Array, WKVChannelState]:
+    """Single-token time-mix. x: [..., E]."""
+    xx = layer_norm(x, ln.weight, ln.bias)
+    k = _matmul(layer.mix_k * xx + (1 - layer.mix_k) * xy, layer.key)
+    v = _matmul(layer.mix_v * xx + (1 - layer.mix_v) * xy, layer.value)
+    r = _matmul(layer.mix_r * xx + (1 - layer.mix_r) * xy, layer.receptance)
+    y, chan = wkv_step(k, v, chan, layer.decay, layer.bonus)
+    rwkv = jax.nn.sigmoid(r) * y
+    return x + _matmul(rwkv, layer.output), xx, chan
+
+
+def _ffn_step(
+    x: jax.Array, layer: FFNParams, ln: LNParams, dd: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    xx = layer_norm(x, ln.weight, ln.bias)
+    k_in = layer.mix_k * xx + (1 - layer.mix_k) * dd
+    r_in = layer.mix_r * xx + (1 - layer.mix_r) * dd
+    gate = jax.nn.sigmoid(_matmul(r_in, layer.receptance))
+    kk = jnp.square(jax.nn.relu(_matmul(k_in, layer.key)))
+    return x + gate * _matmul(kk, layer.value), xx
+
+
+def _layer_slice(params: RWKVParams, i=None):
+    """Pytree of one layer's params (or the stacked pytree for lax.scan)."""
+    per_layer = (params.ln1, params.ln2, params.att, params.ffn)
+    if i is None:
+        return per_layer
+    return jax.tree.map(lambda a: a[i], per_layer)
+
+
+def forward_seq(
+    params: RWKVParams,
+    tokens: jax.Array,
+    state: WKVState,
+    *,
+    parallel: bool = False,
+    return_all_logits: bool = False,
+) -> Tuple[jax.Array, WKVState]:
+    """Run a token sequence through the model (the reference's GPT mode).
+
+    tokens: [T] (or [T, B] for per-position batches sharing positions).
+    Returns (logits, new_state); logits [V] for the last position, or
+    [T, ..., V] when return_all_logits (needed for perplexity eval).
+    """
+    x = params.emb[tokens].astype(jnp.float32)  # [T, ..., E]
+    x = layer_norm(x, params.ln0.weight, params.ln0.bias)
+
+    def block(carry, layer):
+        x, = carry
+        (ln1, ln2, att, ffn), (xy, aa, bb, pp, dd) = layer
+        x, xy, chan = _att_seq(
+            x, att, ln1, xy, WKVChannelState(aa, bb, pp), parallel=parallel
+        )
+        x, dd = _ffn_seq(x, ffn, ln2, dd)
+        return (x,), WKVState(xy, chan.aa, chan.bb, chan.pp, dd)
+
+    (x,), new_state = jax.lax.scan(
+        block, (x,), (_layer_slice(params), tuple(state))
+    )
+    new_state = WKVState(*new_state)
+
+    x = layer_norm(x, params.ln_out.weight, params.ln_out.bias)
+    if return_all_logits:
+        logits = _matmul(x, params.head)
+    else:
+        logits = _matmul(x[-1], params.head)
+    return logits, new_state
+
+
+def forward_step(
+    params: RWKVParams, token: jax.Array, state: WKVState
+) -> Tuple[jax.Array, WKVState]:
+    """One decode step. token: scalar int (or [B] with state [L, B, E] leaves).
+
+    Returns (logits [..., V], new_state).
+    """
+    x = params.emb[token].astype(jnp.float32)
+    x = layer_norm(x, params.ln0.weight, params.ln0.bias)
+
+    def block(carry, layer):
+        x, = carry
+        (ln1, ln2, att, ffn), (xy, aa, bb, pp, dd) = layer
+        x, xy, chan = _att_step(x, att, ln1, xy, WKVChannelState(aa, bb, pp))
+        x, dd = _ffn_step(x, ffn, ln2, dd)
+        return (x,), WKVState(xy, chan.aa, chan.bb, chan.pp, dd)
+
+    (x,), new_state = jax.lax.scan(
+        block, (x,), (_layer_slice(params), tuple(state))
+    )
+    new_state = WKVState(*new_state)
+
+    x = layer_norm(x, params.ln_out.weight, params.ln_out.bias)
+    return _matmul(x, params.head), new_state
+
+
+# ---------------------------------------------------------------------------
+# Initialization / quantization helpers
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    key: jax.Array, config: RWKVConfig, dtype=jnp.float32
+) -> RWKVParams:
+    """Random dense params (for tests/benches; real weights come from io/)."""
+    E, L, V, F = config.n_embd, config.n_layer, config.vocab_size, config.n_ffn
+    ks = iter(jax.random.split(key, 24))
+
+    def mat(shape, scale):
+        return (jax.random.normal(next(ks), shape) * scale).astype(dtype)
+
+    def mix(shape):
+        return jax.random.uniform(next(ks), shape, minval=0.1, maxval=0.9).astype(dtype)
+
+    return RWKVParams(
+        emb=mat((V, E), 0.1),
+        ln0=LNParams(jnp.ones((E,), dtype), jnp.zeros((E,), dtype)),
+        ln1=LNParams(jnp.ones((L, E), dtype), jnp.zeros((L, E), dtype)),
+        ln2=LNParams(jnp.ones((L, E), dtype), jnp.zeros((L, E), dtype)),
+        att=AttParams(
+            mix_k=mix((L, E)),
+            mix_v=mix((L, E)),
+            mix_r=mix((L, E)),
+            key=mat((L, E, E), E**-0.5),
+            value=mat((L, E, E), E**-0.5),
+            receptance=mat((L, E, E), E**-0.5),
+            output=mat((L, E, E), E**-0.5),
+            decay=-jnp.exp(mat((L, E), 1.0)),
+            bonus=mat((L, E), 0.5),
+        ),
+        ffn=FFNParams(
+            mix_k=mix((L, E)),
+            mix_r=mix((L, E)),
+            key=mat((L, E, F), E**-0.5),
+            value=mat((L, F, E), F**-0.5),
+            receptance=mat((L, E, E), E**-0.5),
+        ),
+        ln_out=LNParams(jnp.ones((E,), dtype), jnp.zeros((E,), dtype)),
+        head=mat((E, V), E**-0.5),
+    )
+
+
+def quantize_params(params: RWKVParams) -> RWKVParams:
+    """Quantize the 8 matrix families to u8 (emb/norms/mix stay dense,
+    exactly the reference converter's split, convert_model.py:62-92)."""
+
+    def q(w: Linear) -> QuantLinear:
+        return w if isinstance(w, QuantLinear) else quantize(w)
+
+    return dataclasses.replace(
+        params,
+        att=dataclasses.replace(
+            params.att,
+            key=q(params.att.key),
+            value=q(params.att.value),
+            receptance=q(params.att.receptance),
+            output=q(params.att.output),
+        ),
+        ffn=dataclasses.replace(
+            params.ffn,
+            key=q(params.ffn.key),
+            value=q(params.ffn.value),
+            receptance=q(params.ffn.receptance),
+        ),
+        head=q(params.head),
+    )

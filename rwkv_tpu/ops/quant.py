@@ -1,0 +1,124 @@
+"""Q8_0-style weight-only quantization: per-input-channel affine uint8.
+
+Scheme (behavioral parity with the reference converter,
+converter/convert_model.py:108-119):
+
+  Given a weight W in the *matmul layout* [in, out] (so y = x @ W):
+    o[j]   = min_k W[j, k]                       (per input channel j)
+    r[j]   = (max_k W[j, k] - o[j]) / 255
+    Q[j,k] = round-toward-zero((W[j,k] - o[j]) / r[j])  as uint8
+    o[j]  += mean_k(frac((W[j,k]-o[j])/r[j])) * r[j]    (zero-point refinement)
+  Dequant: W ≈ Q * r[j] + o[j].
+
+(The reference quantizes torch's [out, in] weight reducing over dim 0 and then
+transposes to [in, out] storage; reducing over the out dim of [out, in] is the
+same as reducing over axis=1 of [in, out], i.e. per input channel.)
+
+TPU-native matmul decomposition — the key identity this module is built on:
+
+  y[k] = sum_j x[j] * (Q[j,k] * r[j] + o[j])
+       = (x * r) @ Q  +  (x . o)
+
+The affine-offset term is rank-1 (a scalar per batch row), so the hot loop is
+a plain  (x*r) @ u8-matrix  product: u8 weights stream from HBM at 1 byte/elem
+(the whole point — 2x less HBM traffic than bf16 at memory-bound batch sizes)
+and are widened in-register to feed the MXU. XLA fuses the convert into the
+dot; the Pallas kernel in ops/pallas/mm8.py does it explicitly with tiling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantLinear:
+    """A uint8 weight-only quantized linear layer, y = x @ dequant(w).
+
+    May carry a leading stacked-layer dimension: w [L?, in, out] u8,
+    scale/offset [L?, in] f32 (matching the reference's per-layer stacking of
+    km/vm/rm/... ranges and zero-points).
+    """
+
+    w: jax.Array       # uint8, [..., in, out]
+    scale: jax.Array   # float32, [..., in]   (reference: "ranges" r)
+    offset: jax.Array  # float32, [..., in]   (reference: "zero points" o/mini)
+
+    @property
+    def in_features(self) -> int:
+        return self.w.shape[-2]
+
+    @property
+    def out_features(self) -> int:
+        return self.w.shape[-1]
+
+
+def quantize(w: jax.Array | np.ndarray, *, stochastic: bool = False) -> QuantLinear:
+    """Quantize a dense [in, out] (or [L, in, out]) weight to QuantLinear.
+
+    Pure-numpy/jnp equivalent of the reference converter's quantize_matrix
+    (converter/convert_model.py:108-119), operating on the [in, out] layout
+    directly. float64 intermediate math mirrors the converter's .double()
+    usage so checkpoints round-trip bit-identically through our converter.
+    """
+    x = np.asarray(w, dtype=np.float64)
+    o = x.min(axis=-1)                      # [..., in]
+    span = x.max(axis=-1) - o
+    # Guard all-equal rows (span 0): scale 1 yields Q=0, dequant = offset.
+    r = np.where(span > 0, span, 255.0) / 255.0
+    q = (x - o[..., None]) / r[..., None]
+    frac = q - np.floor(q)
+    # uint8 cast truncates toward zero in the reference (torch .to(uint8));
+    # the refinement shifts the offset by the mean fractional residue.
+    o = o + frac.mean(axis=-1) * r
+    qu8 = q.astype(np.uint8)
+    return QuantLinear(
+        w=jnp.asarray(qu8),
+        scale=jnp.asarray(r, dtype=jnp.float32),
+        offset=jnp.asarray(o, dtype=jnp.float32),
+    )
+
+
+def dequantize(q: QuantLinear, dtype=jnp.float32) -> jax.Array:
+    """Materialize the dense weight (tests/debug only — defeats the purpose)."""
+    return (
+        q.w.astype(dtype) * q.scale[..., None].astype(dtype)
+        + q.offset[..., None].astype(dtype)
+    )
+
+
+def qmatmul(
+    x: jax.Array,
+    q: QuantLinear,
+    *,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """y = x @ dequant(q), without materializing the dequantized matrix.
+
+    x: [..., in] activations. Returns [..., out] in float32.
+
+    Decomposition: (x * scale) @ w  +  (x . offset). The u8->compute_dtype
+    widening of `w` is fused by XLA into the dot's read loop, so HBM traffic
+    stays 1 byte/weight (the reference fuses identically in its CUDA matvec,
+    include/rwkv/cuda/rwkv.cu:290).
+    """
+    xs = (x * q.scale).astype(compute_dtype)
+    # HIGHEST precision: at the memory-bound batch sizes this op exists for,
+    # MXU passes are free (HBM u8 traffic is the bottleneck), so there is no
+    # reason to accept the TPU default bf16 matmul rounding on top of the
+    # quantization noise.
+    main = jax.lax.dot_general(
+        xs,
+        q.w.astype(compute_dtype),
+        dimension_numbers=(((x.ndim - 1,), (q.w.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    off = jnp.einsum("...i,...i->...", x, q.offset)[..., None]
+    return (main + off).astype(jnp.float32)

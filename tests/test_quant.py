@@ -1,0 +1,74 @@
+"""Quantization: round-trip error bounds + qmatmul decomposition identity."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rwkv_tpu.ops.quant import QuantLinear, dequantize, qmatmul, quantize
+
+
+def test_roundtrip_error_bound(rng):
+    w = rng.normal(size=(64, 48)).astype(np.float32)
+    q = quantize(w)
+    deq = np.asarray(dequantize(q))
+    # per-input-channel u8: error <= one quant bucket = range/255 per channel
+    span = w.max(axis=1) - w.min(axis=1)
+    bucket = span / 255.0
+    err = np.abs(deq - w)
+    assert (err <= bucket[:, None] + 1e-6).all()
+
+
+def test_zero_point_refinement_reduces_bias(rng):
+    """The mean-fractional-residue refinement makes dequant error ~zero-mean
+    per channel (the reference's trick, convert_model.py:117)."""
+    w = rng.normal(size=(32, 512)).astype(np.float32)
+    q = quantize(w)
+    deq = np.asarray(dequantize(q))
+    per_channel_bias = (deq - w).mean(axis=1)
+    bucket = (w.max(axis=1) - w.min(axis=1)) / 255.0
+    assert (np.abs(per_channel_bias) < 0.02 * bucket).all()
+
+
+def test_constant_row(rng):
+    w = np.full((4, 8), 3.25, dtype=np.float32)
+    q = quantize(w)
+    np.testing.assert_allclose(np.asarray(dequantize(q)), w, atol=1e-6)
+
+
+def test_qmatmul_equals_dense_on_dequant(rng):
+    x = rng.normal(size=(5, 64)).astype(np.float32)
+    w = rng.normal(size=(64, 48)).astype(np.float32)
+    q = quantize(w)
+    y_fast = np.asarray(qmatmul(jnp.asarray(x), q))
+    y_ref = x @ np.asarray(dequantize(q))
+    np.testing.assert_allclose(y_fast, y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_qmatmul_stacked_layer_dim(rng):
+    w = rng.normal(size=(3, 16, 24)).astype(np.float32)
+    q = quantize(w)
+    assert q.w.shape == (3, 16, 24)
+    assert q.scale.shape == (3, 16)
+    # slice one layer, as lax.scan does
+    q0 = QuantLinear(w=q.w[0], scale=q.scale[0], offset=q.offset[0])
+    x = rng.normal(size=(16,)).astype(np.float32)
+    y = np.asarray(qmatmul(jnp.asarray(x), q0))
+    y_ref = x @ np.asarray(dequantize(q0))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_quant_against_reference_formula(rng):
+    """Bit-exactness vs a direct transcription of the converter's math
+    (convert_model.py:108-119) computed independently in float64."""
+    w = rng.normal(size=(20, 30)).astype(np.float32)  # [in, out]
+    x = w.astype(np.float64)
+    mini = x.min(axis=1)
+    ran = (x - mini[:, None]).max(axis=1) / 255.0
+    out = (x - mini[:, None]) / ran[:, None]
+    frac = out - np.floor(out)
+    mini2 = mini + frac.mean(axis=1) * ran
+    expected_q = out.astype(np.uint8)
+
+    q = quantize(w)
+    np.testing.assert_array_equal(np.asarray(q.w), expected_q)
+    np.testing.assert_allclose(np.asarray(q.scale), ran.astype(np.float32), rtol=0)
+    np.testing.assert_allclose(np.asarray(q.offset), mini2.astype(np.float32), rtol=0)
