@@ -1,0 +1,195 @@
+"""Reference-compatible `.bin` checkpoint reader/writer + streaming loader.
+
+File format (converter/cpp_save_tensor.cpp:75-93): two little-endian int64
+(n_layer, n_embd) followed by the 46 registry tensors raw, in order. A model
+written by the reference converter loads here and vice versa.
+
+Reading is *streaming*: each tensor is memory-mapped and transferred to
+device individually, so peak host RAM is one tensor (the reference's
+"direct disk -> GPU, practically no RAM" property, rwkv.cu:672-711 —
+here disk -> HBM via mmap + device_put). With a `sharding` argument each
+tensor lands directly in its distributed layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkv_tpu.io.registry import REGISTRY, SCRATCH, VOCAB, file_layout
+from rwkv_tpu.models.config import RWKVConfig
+from rwkv_tpu.models.rwkv4 import (
+    AttParams,
+    FFNParams,
+    LNParams,
+    RWKVParams,
+)
+from rwkv_tpu.ops.quant import QuantLinear
+
+
+def read_header(path: str) -> RWKVConfig:
+    with open(path, "rb") as f:
+        hdr = np.frombuffer(f.read(16), dtype="<i8")
+    if hdr.shape != (2,) or hdr[0] <= 0 or hdr[1] <= 0 or hdr[0] > 1024:
+        raise ValueError(f"{path}: not a rwkv .bin file (header {hdr!r})")
+    return RWKVConfig(n_layer=int(hdr[0]), n_embd=int(hdr[1]), vocab_size=VOCAB)
+
+
+def _mmap_tensors(path: str, cfg: RWKVConfig) -> dict[str, np.ndarray]:
+    """Memory-map every registry tensor (zero-copy until touched)."""
+    a, b = cfg.n_layer, cfg.n_embd
+    out = {}
+    for (name, off, nbytes), spec in zip(file_layout(a, b), REGISTRY):
+        arr = np.memmap(path, dtype="<" + spec.dtype, mode="r",
+                        offset=off, shape=spec.shape(a, b))
+        out[name] = arr
+    return out
+
+
+def read_bin(
+    path: str,
+    *,
+    put: Optional[Callable[[str, np.ndarray], jax.Array]] = None,
+) -> RWKVParams:
+    """Load a reference-format .bin into RWKVParams (u8 QuantLinear weights).
+
+    `put(name, host_array) -> device array` customizes placement (e.g. a
+    NamedSharding per tensor for TP loading); default is plain device_put.
+    Tensors stream one at a time — the mmap pages are released after each
+    device transfer, so host RSS stays ~one tensor.
+    """
+    cfg = read_header(path)
+    t = _mmap_tensors(path, cfg)
+
+    if put is None:
+        def put(name, arr):
+            return jax.device_put(jnp.asarray(arr))
+
+    def f32(name):
+        return put(name, np.ascontiguousarray(t[name], dtype=np.float32))
+
+    def qlin(wname, rname, oname) -> QuantLinear:
+        return QuantLinear(
+            w=put(wname, np.ascontiguousarray(t[wname])),
+            scale=f32(rname),
+            offset=f32(oname),
+        )
+
+    ln = np.asarray(t["layernorms"], dtype=np.float32)  # [4(L+1), E]
+    L = cfg.n_layer
+    # Packing (converter convert_model.py:30-46 / kernel offsets rwkv.cu:533):
+    # rows 0,1 = ln0 w,b; rows 4i+2,4i+3 = ln1_i; rows 4i+4,4i+5 = ln2_i;
+    # rows 4L+2,4L+3 = ln_out.
+    idx = np.arange(L)
+    params = RWKVParams(
+        emb=f32("embed"),
+        ln0=LNParams(put("ln0.w", ln[0]), put("ln0.b", ln[1])),
+        ln1=LNParams(put("ln1.w", ln[4 * idx + 2]), put("ln1.b", ln[4 * idx + 3])),
+        ln2=LNParams(put("ln2.w", ln[4 * idx + 4]), put("ln2.b", ln[4 * idx + 5])),
+        att=AttParams(
+            mix_k=f32("mix_k"),
+            mix_v=f32("mix_v"),
+            mix_r=f32("mix_r"),
+            key=qlin("km", "kr", "o1"),
+            value=qlin("vm", "vr", "o2"),
+            receptance=qlin("rm", "rr", "o3"),
+            output=qlin("att_out", "att_out_r", "att_out_o"),
+            decay=f32("decay"),
+            bonus=f32("bonus"),
+        ),
+        ffn=FFNParams(
+            mix_k=f32("ffn_mix_k"),
+            mix_r=f32("ffn_mix_v"),  # registry quirk: slot holds time_mix_r
+            key=qlin("ffn_k", "ffn_kr", "ffn_ko"),
+            value=qlin("ffn_v", "ffn_vr", "ffn_vo"),
+            receptance=qlin("ffn_r", "ffn_rr", "ffn_ro"),
+        ),
+        ln_out=LNParams(put("ln_out.w", ln[4 * L + 2]), put("ln_out.b", ln[4 * L + 3])),
+        head=qlin("head", "head_r", "head_o"),
+    )
+    return params
+
+
+def write_bin(path: str, params: RWKVParams) -> None:
+    """Write RWKVParams (quantized, vocab 50277) as a reference-format .bin."""
+    cfg = params.config
+    if cfg.vocab_size != VOCAB:
+        raise ValueError(f".bin format requires vocab {VOCAB}, got {cfg.vocab_size}")
+    for name in ("key", "value", "receptance", "output"):
+        if not isinstance(getattr(params.att, name), QuantLinear):
+            raise ValueError("write_bin requires quantized params (quantize_params)")
+    a, b = cfg.n_layer, cfg.n_embd
+
+    def h(x, dt):
+        return np.ascontiguousarray(np.asarray(x), dtype=dt)
+
+    ln = np.zeros((4 * (a + 1), b), dtype="<f8")
+    ln[0], ln[1] = h(params.ln0.weight, "f8"), h(params.ln0.bias, "f8")
+    idx = np.arange(a)
+    ln[4 * idx + 2] = h(params.ln1.weight, "f8")
+    ln[4 * idx + 3] = h(params.ln1.bias, "f8")
+    ln[4 * idx + 4] = h(params.ln2.weight, "f8")
+    ln[4 * idx + 5] = h(params.ln2.bias, "f8")
+    ln[4 * a + 2], ln[4 * a + 3] = h(params.ln_out.weight, "f8"), h(params.ln_out.bias, "f8")
+
+    empty = np.zeros((a, b), dtype="<f8")
+    neg = np.full((a, b), -1e30, dtype="<f8")
+
+    data = {
+        "xbuf": np.zeros((b,), "<f8"),
+        "embed": h(params.emb, "<f4"),
+        "layernorms": ln,
+        "state_xy": empty, "state_aa": empty, "state_bb": empty,
+        "state_pp": neg, "state_dd": empty,
+        "buffer1": np.zeros((b,), "<f8"),
+        "buffer2": np.zeros((VOCAB,), "<f4"),
+        "buffer3": np.zeros((b,), "<f4"),
+        "buffer4": np.zeros((b,), "<f4"),
+        "mix_k": h(params.att.mix_k, "<f8"),
+        "mix_v": h(params.att.mix_v, "<f8"),
+        "mix_r": h(params.att.mix_r, "<f8"),
+        "km": h(params.att.key.w, "u1"),
+        "vm": h(params.att.value.w, "u1"),
+        "rm": h(params.att.receptance.w, "u1"),
+        "kr": h(params.att.key.scale, "<f4"),
+        "vr": h(params.att.value.scale, "<f4"),
+        "rr": h(params.att.receptance.scale, "<f4"),
+        "o1": h(params.att.key.offset, "<f4"),
+        "o2": h(params.att.value.offset, "<f4"),
+        "o3": h(params.att.receptance.offset, "<f4"),
+        "att_out": h(params.att.output.w, "u1"),
+        "att_out_r": h(params.att.output.scale, "<f4"),
+        "att_out_o": h(params.att.output.offset, "<f4"),
+        "ffn_mix_k": h(params.ffn.mix_k, "<f8"),
+        "ffn_mix_v": h(params.ffn.mix_r, "<f8"),  # quirk: slot holds mix_r
+        "ffn_k": h(params.ffn.key.w, "u1"),
+        "ffn_v": h(params.ffn.value.w, "u1"),
+        "ffn_r": h(params.ffn.receptance.w, "u1"),
+        "ffn_kr": h(params.ffn.key.scale, "<f4"),
+        "ffn_vr": h(params.ffn.value.scale, "<f4"),
+        "ffn_rr": h(params.ffn.receptance.scale, "<f4"),
+        "ffn_ko": h(params.ffn.key.offset, "<f4"),
+        "ffn_vo": h(params.ffn.value.offset, "<f4"),
+        "ffn_ro": h(params.ffn.receptance.offset, "<f4"),
+        "ffn_k_buffer": np.zeros((b,), "<f8"),
+        "ffn_v_buffer": np.zeros((b,), "<f8"),
+        "ffn_r_buffer": np.zeros((4 * b,), "<f4"),
+        "decay": h(params.att.decay, "<f8"),
+        "bonus": h(params.att.bonus, "<f8"),
+        "head": h(params.head.w, "u1"),
+        "head_r": h(params.head.scale, "<f4"),
+        "head_o": h(params.head.offset, "<f4"),
+    }
+
+    with open(path, "wb") as f:
+        f.write(np.asarray([a, b], dtype="<i8").tobytes())
+        for spec in REGISTRY:
+            arr = data[spec.name]
+            expected = spec.shape(a, b)
+            if tuple(arr.shape) != tuple(expected):
+                raise ValueError(f"{spec.name}: shape {arr.shape} != {expected}")
+            f.write(arr.tobytes())

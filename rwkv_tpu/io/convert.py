@@ -1,0 +1,122 @@
+"""Offline converter: RWKV-v4 .pth -> quantized checkpoint.
+
+Equivalent of the reference's converter/convert_model.py, minus the libtorch
+C++ serializer (io/binfmt.py writes the identical format in numpy). torch is
+imported lazily and only used to deserialize the .pth on CPU.
+
+Semantics preserved:
+  * decay = -exp(time_decay) baked in at convert time (convert_model.py:58)
+  * mixes/layernorms pass through; 7 matrix families + head quantized to
+    per-input-channel affine u8 (ops/quant.py == convert_model.py:108-119)
+  * weights transposed to [in, out] matmul layout
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from rwkv_tpu.models.config import RWKVConfig
+from rwkv_tpu.models.rwkv4 import (
+    AttParams,
+    FFNParams,
+    LNParams,
+    RWKVParams,
+    quantize_params,
+)
+
+REQUIRED_KEYS = (
+    "emb.weight",
+    "ln_out.weight",
+    "ln_out.bias",
+    "blocks.0.ln0.weight",
+    "blocks.0.ln0.bias",
+    "head.weight",
+)
+
+
+def load_pth(path: str) -> RWKVParams:
+    """Read a BlinkDL RWKV-v4 .pth into dense float32 RWKVParams."""
+    import torch
+
+    w = torch.load(path, map_location="cpu", weights_only=True)
+    missing = [k for k in REQUIRED_KEYS if k not in w]
+    if missing:
+        raise ValueError(f"{path}: not an RWKV-v4 checkpoint; missing {missing}")
+
+    n_embd = w["blocks.0.att.key.weight"].shape[1]
+    n_layer = sum(1 for k in w if "blocks" in k and "ln1.bias" in k)
+    vocab = w["emb.weight"].shape[0]
+    cfg = RWKVConfig(n_layer=n_layer, n_embd=n_embd, vocab_size=vocab)
+
+    def npf(t):
+        return np.asarray(t.float().numpy(), dtype=np.float32)
+
+    def stack(fmt, transform=npf):
+        return np.stack([transform(w[fmt.format(i)]) for i in range(n_layer)])
+
+    def stack_sq(fmt):
+        return stack(fmt, lambda t: npf(t).reshape(-1))
+
+    def stack_t(fmt):
+        # torch Linear weight is [out, in]; our matmul layout is [in, out]
+        return stack(fmt, lambda t: np.ascontiguousarray(npf(t).T))
+
+    params = RWKVParams(
+        emb=npf(w["emb.weight"]),
+        ln0=LNParams(npf(w["blocks.0.ln0.weight"]), npf(w["blocks.0.ln0.bias"])),
+        ln1=LNParams(stack("blocks.{}.ln1.weight"), stack("blocks.{}.ln1.bias")),
+        ln2=LNParams(stack("blocks.{}.ln2.weight"), stack("blocks.{}.ln2.bias")),
+        att=AttParams(
+            mix_k=stack_sq("blocks.{}.att.time_mix_k"),
+            mix_v=stack_sq("blocks.{}.att.time_mix_v"),
+            mix_r=stack_sq("blocks.{}.att.time_mix_r"),
+            key=stack_t("blocks.{}.att.key.weight"),
+            value=stack_t("blocks.{}.att.value.weight"),
+            receptance=stack_t("blocks.{}.att.receptance.weight"),
+            output=stack_t("blocks.{}.att.output.weight"),
+            decay=-np.exp(
+                stack_sq("blocks.{}.att.time_decay").astype(np.float64)
+            ).astype(np.float32),
+            bonus=stack_sq("blocks.{}.att.time_first"),
+        ),
+        ffn=FFNParams(
+            mix_k=stack_sq("blocks.{}.ffn.time_mix_k"),
+            mix_r=stack_sq("blocks.{}.ffn.time_mix_r"),
+            key=stack_t("blocks.{}.ffn.key.weight"),
+            value=stack_t("blocks.{}.ffn.value.weight"),
+            receptance=stack_t("blocks.{}.ffn.receptance.weight"),
+        ),
+        ln_out=LNParams(npf(w["ln_out.weight"]), npf(w["ln_out.bias"])),
+        head=np.ascontiguousarray(npf(w["head.weight"]).T),
+    )
+    assert params.config == cfg
+    return params
+
+
+def convert(pth_path: str, out_path: str) -> None:
+    from rwkv_tpu.io.binfmt import write_bin
+
+    print(f"loading {pth_path} ...", file=sys.stderr)
+    dense = load_pth(pth_path)
+    cfg = dense.config
+    print(f"model: L={cfg.n_layer} E={cfg.n_embd} V={cfg.vocab_size}; quantizing ...",
+          file=sys.stderr)
+    qparams = quantize_params(dense)
+    print(f"writing {out_path} ...", file=sys.stderr)
+    write_bin(out_path, qparams)
+    print("done", file=sys.stderr)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Convert RWKV-v4 .pth to quantized .bin")
+    p.add_argument("pth", help="input .pth checkpoint")
+    p.add_argument("-o", "--out", default="model.bin", help="output .bin path")
+    args = p.parse_args(argv)
+    convert(args.pth, args.out)
+
+
+if __name__ == "__main__":
+    main()

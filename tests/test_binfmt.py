@@ -1,0 +1,100 @@
+"""Checkpoint format: write/read round-trip + converter parity + streaming."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rwkv_tpu.io import binfmt, registry
+from rwkv_tpu.models.config import RWKVConfig
+from rwkv_tpu.models.rwkv4 import (
+    forward_step,
+    init_params,
+    init_state,
+    quantize_params,
+)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    # Real vocab (the format hardcodes 50277) but tiny width/depth.
+    cfg = RWKVConfig(n_layer=2, n_embd=16)
+    params = quantize_params(init_params(jax.random.PRNGKey(3), cfg))
+    return cfg, params
+
+
+def test_layout_matches_reference_sizes():
+    """Byte layout must equal the reference getSize()/types tables
+    (rwkv.h:84,126) — spot-check several slots for a=6, b=512."""
+    a, b = 6, 512
+    layout = dict((n, (o, s)) for n, o, s in registry.file_layout(a, b))
+    assert layout["xbuf"] == (16, b * 8)
+    assert layout["embed"][1] == 50277 * b * 4
+    assert layout["layernorms"][1] == 4 * (a + 1) * b * 8
+    assert layout["km"][1] == a * b * b * 1
+    assert layout["ffn_k"][1] == a * b * b * 4 * 1
+    assert layout["ffn_vr"][1] == a * b * 4 * 4
+    assert layout["head"][1] == 50277 * b * 1
+    # total file size = header + sum of all 46
+    total = 16 + sum(s for _, _, s in registry.file_layout(a, b))
+    expected = 16 + sum(
+        registry.tensor_nbytes(spec, a, b) for spec in registry.REGISTRY
+    )
+    assert total == expected
+
+
+def test_roundtrip_forward_identical(tmp_path, small_model):
+    cfg, params = small_model
+    path = str(tmp_path / "model.bin")
+    binfmt.write_bin(path, params)
+
+    assert binfmt.read_header(path) == cfg
+    loaded = binfmt.read_bin(path)
+
+    state = init_state(cfg)
+    tok = jnp.asarray(7)
+    l0, s0 = forward_step(params, tok, state)
+    l1, s1 = forward_step(loaded, tok, state)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-5, atol=1e-5)
+    for a_, b_ in zip(s0, s1):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5)
+
+
+def test_u8_payload_bit_exact(tmp_path, small_model):
+    cfg, params = small_model
+    path = str(tmp_path / "model.bin")
+    binfmt.write_bin(path, params)
+    loaded = binfmt.read_bin(path)
+    np.testing.assert_array_equal(np.asarray(loaded.att.key.w), np.asarray(params.att.key.w))
+    np.testing.assert_array_equal(np.asarray(loaded.head.w), np.asarray(params.head.w))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.ffn.key.scale), np.asarray(params.ffn.key.scale)
+    )
+
+
+def test_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"\x00" * 8)
+    with pytest.raises(ValueError):
+        binfmt.read_header(str(p))
+    p.write_bytes(np.asarray([999999, 5], dtype="<i8").tobytes())
+    with pytest.raises(ValueError):
+        binfmt.read_header(str(p))
+
+
+def test_custom_put_sees_every_model_tensor(tmp_path, small_model):
+    """The streaming hook receives each tensor once — this is the seam the
+    sharded loader uses."""
+    cfg, params = small_model
+    path = str(tmp_path / "model.bin")
+    binfmt.write_bin(path, params)
+    seen = []
+
+    def put(name, arr):
+        seen.append(name)
+        return jnp.asarray(arr)
+
+    binfmt.read_bin(path, put=put)
+    assert "km" in seen and "head" in seen and "ln0.w" in seen
+    # scratch buffers must not be loaded
+    assert not (set(seen) & registry.SCRATCH)
