@@ -149,9 +149,16 @@ def init_state(
 # ---------------------------------------------------------------------------
 
 
+def _last_valid(xx: jax.Array, length) -> jax.Array:
+    """xx[length-1] (the carried token-shift state) — xx[-1] when unmasked."""
+    if length is None:
+        return xx[-1]
+    return jax.lax.dynamic_index_in_dim(xx, length - 1, axis=0, keepdims=False)
+
+
 def _att_seq(
     x: jax.Array, layer: AttParams, ln: LNParams, xy: jax.Array, chan: WKVChannelState,
-    *, parallel: bool,
+    *, parallel: bool, mask=None, length=None,
 ) -> Tuple[jax.Array, jax.Array, WKVChannelState]:
     """Time-mix over a sequence. x: [T, ..., E]; xy: [..., E] prior token."""
     xx = layer_norm(x, ln.weight, ln.bias)
@@ -160,13 +167,13 @@ def _att_seq(
     v = _matmul(layer.mix_v * xx + (1 - layer.mix_v) * prev, layer.value)
     r = _matmul(layer.mix_r * xx + (1 - layer.mix_r) * prev, layer.receptance)
     wkv_fn = wkv_parallel if parallel else wkv_scan
-    y, chan = wkv_fn(k, v, chan, layer.decay, layer.bonus)
+    y, chan = wkv_fn(k, v, chan, layer.decay, layer.bonus, mask)
     rwkv = jax.nn.sigmoid(r) * y
-    return x + _matmul(rwkv, layer.output), xx[-1], chan
+    return x + _matmul(rwkv, layer.output), _last_valid(xx, length), chan
 
 
 def _ffn_seq(
-    x: jax.Array, layer: FFNParams, ln: LNParams, dd: jax.Array
+    x: jax.Array, layer: FFNParams, ln: LNParams, dd: jax.Array, *, length=None
 ) -> Tuple[jax.Array, jax.Array]:
     """Channel-mix over a sequence. x: [T, ..., E]; dd: [..., E]."""
     xx = layer_norm(x, ln.weight, ln.bias)
@@ -175,7 +182,7 @@ def _ffn_seq(
     r_in = layer.mix_r * xx + (1 - layer.mix_r) * prev
     gate = jax.nn.sigmoid(_matmul(r_in, layer.receptance))
     kk = jnp.square(jax.nn.relu(_matmul(k_in, layer.key)))
-    return x + gate * _matmul(kk, layer.value), xx[-1]
+    return x + gate * _matmul(kk, layer.value), _last_valid(xx, length)
 
 
 def _att_step(
@@ -217,23 +224,32 @@ def forward_seq(
     *,
     parallel: bool = False,
     return_all_logits: bool = False,
+    length: jax.Array | None = None,
 ) -> Tuple[jax.Array, WKVState]:
     """Run a token sequence through the model (the reference's GPT mode).
 
     tokens: [T] (or [T, B] for per-position batches sharing positions).
-    Returns (logits, new_state); logits [V] for the last position, or
+    length: optional scalar — the number of *valid* leading tokens; positions
+    >= length are padding whose state updates are no-ops. Lets callers pad
+    prompts into fixed jit buckets instead of recompiling per length.
+    Returns (logits, new_state); logits [V] for the last valid position, or
     [T, ..., V] when return_all_logits (needed for perplexity eval).
     """
     x = params.emb[tokens].astype(jnp.float32)  # [T, ..., E]
     x = layer_norm(x, params.ln0.weight, params.ln0.bias)
+    T = x.shape[0]
+    mask = None
+    if length is not None:
+        mask = jnp.arange(T) < length
 
     def block(carry, layer):
         x, = carry
         (ln1, ln2, att, ffn), (xy, aa, bb, pp, dd) = layer
         x, xy, chan = _att_seq(
-            x, att, ln1, xy, WKVChannelState(aa, bb, pp), parallel=parallel
+            x, att, ln1, xy, WKVChannelState(aa, bb, pp),
+            parallel=parallel, mask=mask, length=length,
         )
-        x, dd = _ffn_seq(x, ffn, ln2, dd)
+        x, dd = _ffn_seq(x, ffn, ln2, dd, length=length)
         return (x,), WKVState(xy, chan.aa, chan.bb, chan.pp, dd)
 
     (x,), new_state = jax.lax.scan(
@@ -245,7 +261,7 @@ def forward_seq(
     if return_all_logits:
         logits = _matmul(x, params.head)
     else:
-        logits = _matmul(x[-1], params.head)
+        logits = _matmul(_last_valid(x, length), params.head)
     return logits, new_state
 
 

@@ -89,15 +89,30 @@ def wkv_scan(
     state: WKVChannelState,
     w: jax.Array,
     u: jax.Array,
+    mask: jax.Array | None = None,
 ) -> Tuple[jax.Array, WKVChannelState]:
-    """Sequential WKV over a sequence. k, v: [T, ..., E]. Returns y [T, ..., E]."""
+    """Sequential WKV over a sequence. k, v: [T, ..., E]. Returns y [T, ..., E].
 
-    def body(carry, kv):
-        kt, vt = kv
+    mask: optional [T] bool; False positions are padding — their state update
+    is skipped entirely (identity transition), enabling bucketed prefill
+    without recompilation per prompt length.
+    """
+    if mask is None:
+        def body(carry, kv):
+            kt, vt = kv
+            y, new = wkv_step(kt, vt, carry, w, u)
+            return new, y
+
+        final, ys = jax.lax.scan(body, state, (k, v))
+        return ys, final
+
+    def body(carry, kvm):
+        kt, vt, mt = kvm
         y, new = wkv_step(kt, vt, carry, w, u)
+        new = WKVChannelState(*(jnp.where(mt, n, c) for n, c in zip(new, carry)))
         return new, y
 
-    final, ys = jax.lax.scan(body, state, (k, v))
+    final, ys = jax.lax.scan(body, state, (k, v, mask))
     return ys, final
 
 
@@ -107,6 +122,7 @@ def wkv_parallel(
     state: WKVChannelState,
     w: jax.Array,
     u: jax.Array,
+    mask: jax.Array | None = None,
 ) -> Tuple[jax.Array, WKVChannelState]:
     """Parallel (associative-scan) WKV over a sequence. k, v: [T, ..., E].
 
@@ -121,11 +137,17 @@ def wkv_parallel(
     in O(log T) depth. Output y_t then needs the *exclusive* prefix state
     combined with the initial state, plus the elementwise bonus term.
     """
-    T = k.shape[0]
     lam = jnp.broadcast_to(w, k.shape).astype(k.dtype)  # per-token decay e^w
     ca = v
     cb = jnp.ones_like(k)
     pc = k
+    if mask is None:
+        mask_b = None
+    else:
+        # Padding tokens become exact identity maps: zero decay, -inf payload.
+        mask_b = jnp.reshape(mask, (mask.shape[0],) + (1,) * (k.ndim - 1))
+        lam = jnp.where(mask_b, lam, 0.0)
+        pc = jnp.where(mask_b, pc, -1e38)
 
     def combine(left, right):
         lam1, ca1, cb1, pc1 = left

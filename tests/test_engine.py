@@ -1,0 +1,138 @@
+"""Engine: API parity behaviors (modes, state snapshot/branch, generation)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_tpu.models.config import RWKVConfig
+from rwkv_tpu.models.rwkv4 import (
+    forward_seq,
+    init_params,
+    init_state,
+    quantize_params,
+)
+from rwkv_tpu.runtime.engine import RWKV, Mode
+
+VOCAB_DIR = "/root/reference/include/rwkv/tokenizer/vocab"
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = RWKVConfig(n_layer=2, n_embd=16)  # real vocab for tokenizer compat
+    params = quantize_params(init_params(jax.random.PRNGKey(5), cfg))
+    eng = RWKV(max_streams=3, prefill_buckets=(8, 32))
+    eng.load_params(params)
+    return eng
+
+
+def test_forward_modes_agree(engine):
+    """GPT ingest of [a,b,c] == three single-token GPT calls."""
+    engine.reset_state()
+    l_seq = np.asarray(engine.forward([11, 22, 33]))
+
+    engine.reset_state()
+    for t in (11, 22, 33):
+        l_step = engine.forward(t)
+    np.testing.assert_allclose(l_seq, np.asarray(l_step), rtol=2e-3, atol=2e-3)
+
+
+def test_long_prompt_chunking(engine):
+    """Prompts longer than the largest bucket chunk correctly."""
+    engine.reset_state()
+    toks = list(np.arange(77) % 500)
+    l_chunked = np.asarray(engine.forward(toks))
+
+    # oracle: unpadded functional forward
+    state = init_state(engine.config)
+    l_ref, _ = forward_seq(engine.params, jnp.asarray(toks), state)
+    np.testing.assert_allclose(l_chunked, np.asarray(l_ref), rtol=2e-3, atol=2e-3)
+
+
+def test_parallel_mode_advances_all_streams(engine):
+    engine.reset_state()
+    logits = engine.forward([1, 2, 3], Mode.PARALLEL)
+    assert logits.shape == (3, engine.config.vocab_size)
+    # streams with different tokens must now have different states
+    s0, s1 = engine.get_state(0), engine.get_state(1)
+    assert not np.allclose(np.asarray(s0.xy), np.asarray(s1.xy))
+
+
+def test_parallel_mode_wrong_width(engine):
+    with pytest.raises(ValueError):
+        engine.forward([1, 2], Mode.PARALLEL)
+
+
+def test_reference_enum_spelling():
+    assert Mode.PARRALEL is Mode.PARALLEL
+
+
+def test_state_snapshot_branch_restore(engine):
+    """The storygen pattern: snapshot after prompt, branch twice, restore."""
+    engine.reset_state()
+    engine.forward([5, 6, 7])
+    snap = engine.get_state(0)
+
+    la = np.asarray(engine.forward(100))
+    engine.set_state(snap, 0)
+    lb = np.asarray(engine.forward(200))
+    engine.set_state(snap, 0)
+    la2 = np.asarray(engine.forward(100))
+
+    assert not np.allclose(la, lb)
+    np.testing.assert_array_equal(la, la2)
+
+
+def test_stream_isolation(engine):
+    """GPT ops on stream 0 must not disturb stream 2."""
+    engine.reset_state()
+    engine.forward([9, 9, 9], stream=2)
+    before = jax.tree.map(np.asarray, engine.get_state(2))
+    engine.forward([1, 2, 3, 4], stream=0)
+    after = jax.tree.map(np.asarray, engine.get_state(2))
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_errors_before_load():
+    eng = RWKV()
+    with pytest.raises(RuntimeError):
+        eng.forward(1)
+    with pytest.raises(RuntimeError):
+        eng.empty_state()
+
+
+def test_load_file_roundtrip(tmp_path, engine):
+    from rwkv_tpu.io.binfmt import write_bin
+
+    path = str(tmp_path / "m.bin")
+    write_bin(path, engine.params)
+    eng2 = RWKV(path)
+    engine.reset_state()
+    l1 = np.asarray(engine.forward([4, 8]))
+    l2 = np.asarray(eng2.forward([4, 8]))
+    np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(VOCAB_DIR), reason="vocab unavailable")
+def test_generate_end_to_end(engine):
+    engine.load_tokenizer(VOCAB_DIR)
+    engine.reset_state()
+    chunks = []
+    out = engine.generate(
+        "Hello", max_tokens=6, seed=1, on_text=chunks.append
+    )
+    assert isinstance(out, str)
+    assert "".join(chunks).startswith(out[: len("".join(chunks))]) or out
+
+
+@pytest.mark.skipif(not os.path.isdir(VOCAB_DIR), reason="vocab unavailable")
+def test_generate_deterministic_same_seed(engine):
+    engine.load_tokenizer(VOCAB_DIR)
+    engine.reset_state()
+    a = engine.generate("Once", max_tokens=5, seed=7)
+    engine.reset_state()
+    b = engine.generate("Once", max_tokens=5, seed=7)
+    assert a == b

@@ -1,0 +1,51 @@
+"""Bucketed (padded) prefill: padded tail must be a perfect no-op."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_tpu.models.config import RWKVConfig
+from rwkv_tpu.models.rwkv4 import forward_seq, init_params, init_state
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = RWKVConfig.tiny_test(n_layer=2, n_embd=16, vocab_size=89)
+    return cfg, init_params(jax.random.PRNGKey(4), cfg)
+
+
+@pytest.mark.parametrize("parallel", [False, True])
+def test_padded_equals_exact(model, parallel):
+    cfg, params = model
+    real = jnp.asarray([5, 9, 13, 2, 77, 31, 8])
+    T_real = real.shape[0]
+    bucket = 16
+    padded = jnp.concatenate([real, jnp.zeros(bucket - T_real, jnp.int32)])
+
+    s0 = init_state(cfg)
+    l_exact, s_exact = forward_seq(params, real, s0, parallel=parallel)
+    l_pad, s_pad = forward_seq(
+        params, padded, s0, parallel=parallel, length=jnp.asarray(T_real)
+    )
+
+    np.testing.assert_allclose(np.asarray(l_pad), np.asarray(l_exact), rtol=2e-4, atol=1e-4)
+    for a, b in zip(s_pad, s_exact):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_one_bucket_many_lengths_single_compile(model):
+    """Different lengths reuse one jitted computation (bucket dims static)."""
+    cfg, params = model
+    fwd = jax.jit(
+        lambda p, t, s, n: forward_seq(p, t, s, length=n), static_argnums=()
+    )
+    s0 = init_state(cfg)
+    bucket = jnp.zeros(8, jnp.int32)
+    compiles_before = fwd._cache_size() if hasattr(fwd, "_cache_size") else None
+    for n in (1, 3, 8):
+        toks = bucket.at[:n].set(jnp.arange(n) + 1)
+        logits, _ = fwd(params, toks, s0, jnp.asarray(n))
+        assert np.isfinite(np.asarray(logits)).all()
+    if compiles_before is not None:
+        assert fwd._cache_size() == 1
