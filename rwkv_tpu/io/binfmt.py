@@ -54,6 +54,7 @@ def read_bin(
     path: str,
     *,
     put: Optional[Callable[[str, np.ndarray], jax.Array]] = None,
+    pad_vocab_to: Optional[int] = None,
 ) -> RWKVParams:
     """Load a reference-format .bin into RWKVParams (u8 QuantLinear weights).
 
@@ -61,9 +62,17 @@ def read_bin(
     NamedSharding per tensor for TP loading); default is plain device_put.
     Tensors stream one at a time — the mmap pages are released after each
     device transfer, so host RSS stays ~one tensor.
+
+    `pad_vocab_to`: pad emb rows / head columns up to this multiple (see
+    models.rwkv4.pad_vocab) *before* placement, so the vocab dim shards.
     """
     cfg = read_header(path)
     t = _mmap_tensors(path, cfg)
+
+    vpad = 0
+    if pad_vocab_to:
+        vp = ((VOCAB + pad_vocab_to - 1) // pad_vocab_to) * pad_vocab_to
+        vpad = vp - VOCAB
 
     if put is None:
         def put(name, arr):
@@ -73,8 +82,11 @@ def read_bin(
         return put(name, np.ascontiguousarray(t[name], dtype=np.float32))
 
     def qlin(wname, rname, oname) -> QuantLinear:
+        w = t[wname]
+        if wname == "head" and vpad:
+            w = np.pad(np.asarray(w), ((0, 0), (0, vpad)))
         return QuantLinear(
-            w=put(wname, np.ascontiguousarray(t[wname])),
+            w=put(wname, np.ascontiguousarray(w)),
             scale=f32(rname),
             offset=f32(oname),
         )
@@ -85,8 +97,17 @@ def read_bin(
     # rows 0,1 = ln0 w,b; rows 4i+2,4i+3 = ln1_i; rows 4i+4,4i+5 = ln2_i;
     # rows 4L+2,4L+3 = ln_out.
     idx = np.arange(L)
+
+    emb_host = np.ascontiguousarray(t["embed"], dtype=np.float32)
+    logit_bias = None
+    if vpad:
+        emb_host = np.pad(emb_host, ((0, vpad), (0, 0)))
+        bias = np.zeros((VOCAB + vpad,), np.float32)
+        bias[VOCAB:] = -1e9
+        logit_bias = put("logit_bias", bias)
+
     params = RWKVParams(
-        emb=f32("embed"),
+        emb=put("embed", emb_host),
         ln0=LNParams(put("ln0.w", ln[0]), put("ln0.b", ln[1])),
         ln1=LNParams(put("ln1.w", ln[4 * idx + 2]), put("ln1.b", ln[4 * idx + 3])),
         ln2=LNParams(put("ln2.w", ln[4 * idx + 4]), put("ln2.b", ln[4 * idx + 5])),
@@ -110,6 +131,7 @@ def read_bin(
         ),
         ln_out=LNParams(put("ln_out.w", ln[4 * L + 2]), put("ln_out.b", ln[4 * L + 3])),
         head=qlin("head", "head_r", "head_o"),
+        logit_bias=logit_bias,
     )
     return params
 
@@ -117,7 +139,7 @@ def read_bin(
 def write_bin(path: str, params: RWKVParams) -> None:
     """Write RWKVParams (quantized, vocab 50277) as a reference-format .bin."""
     cfg = params.config
-    if cfg.vocab_size != VOCAB:
+    if cfg.vocab_size < VOCAB:
         raise ValueError(f".bin format requires vocab {VOCAB}, got {cfg.vocab_size}")
     for name in ("key", "value", "receptance", "output"):
         if not isinstance(getattr(params.att, name), QuantLinear):
@@ -126,6 +148,10 @@ def write_bin(path: str, params: RWKVParams) -> None:
 
     def h(x, dt):
         return np.ascontiguousarray(np.asarray(x), dtype=dt)
+
+    # strip any vocab padding (pad_vocab) back to the canonical 50277
+    emb_out = h(params.emb, "<f4")[:VOCAB]
+    head_w_out = h(params.head.w, "u1")[:, :VOCAB]
 
     ln = np.zeros((4 * (a + 1), b), dtype="<f8")
     ln[0], ln[1] = h(params.ln0.weight, "f8"), h(params.ln0.bias, "f8")
@@ -141,7 +167,7 @@ def write_bin(path: str, params: RWKVParams) -> None:
 
     data = {
         "xbuf": np.zeros((b,), "<f8"),
-        "embed": h(params.emb, "<f4"),
+        "embed": emb_out,
         "layernorms": ln,
         "state_xy": empty, "state_aa": empty, "state_bb": empty,
         "state_pp": neg, "state_dd": empty,
@@ -180,7 +206,7 @@ def write_bin(path: str, params: RWKVParams) -> None:
         "ffn_r_buffer": np.zeros((4 * b,), "<f4"),
         "decay": h(params.att.decay, "<f8"),
         "bonus": h(params.att.bonus, "<f8"),
-        "head": h(params.head.w, "u1"),
+        "head": head_w_out,
         "head_r": h(params.head.scale, "<f4"),
         "head_o": h(params.head.offset, "<f4"),
     }

@@ -23,7 +23,7 @@ forward (rwkv.cu:493-593); see ops/wkv.py for the recurrence form.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +94,10 @@ class RWKVParams:
     ffn: FFNParams
     ln_out: LNParams   # [E]
     head: Linear       # [E, V]
+    # When the vocab is padded for TP divisibility / MXU lanes (pad_vocab),
+    # this [V_padded] bias is 0 for real tokens and -1e9 for padding, so
+    # padded logits can never be sampled. None for unpadded models.
+    logit_bias: Optional[jax.Array] = None
 
     @property
     def n_layer(self) -> int:
@@ -262,6 +266,8 @@ def forward_seq(
         logits = _matmul(x, params.head)
     else:
         logits = _matmul(_last_valid(x, length), params.head)
+    if params.logit_bias is not None:
+        logits = logits + params.logit_bias
     return logits, new_state
 
 
@@ -288,7 +294,10 @@ def forward_step(
     new_state = WKVState(*new_state)
 
     x = layer_norm(x, params.ln_out.weight, params.ln_out.bias)
-    return _matmul(x, params.head), new_state
+    logits = _matmul(x, params.head)
+    if params.logit_bias is not None:
+        logits = logits + params.logit_bias
+    return logits, new_state
 
 
 # ---------------------------------------------------------------------------
@@ -335,6 +344,31 @@ def init_params(
         ln_out=LNParams(jnp.ones((E,), dtype), jnp.zeros((E,), dtype)),
         head=mat((E, V), E**-0.5),
     )
+
+
+def pad_vocab(params: RWKVParams, multiple: int = 128) -> RWKVParams:
+    """Pad the vocab dim of emb/head up to `multiple` (TPU lanes / TP
+    divisibility — 50277 is 3x16759 and shards over nothing). Padded logits
+    are forced to -1e9 via `logit_bias` so they can never be sampled; padded
+    embedding rows are zero and unreachable from a real tokenizer."""
+    V = params.emb.shape[0]
+    Vp = ((V + multiple - 1) // multiple) * multiple
+    if Vp == V and params.logit_bias is not None:
+        return params
+    pad = Vp - V
+
+    emb = jnp.pad(params.emb, ((0, pad), (0, 0)))
+    head = params.head
+    if isinstance(head, QuantLinear):
+        head = QuantLinear(
+            w=jnp.pad(head.w, ((0, 0), (0, pad))),
+            scale=head.scale,
+            offset=head.offset,
+        )
+    else:
+        head = jnp.pad(head, ((0, 0), (0, pad)))
+    bias = jnp.where(jnp.arange(Vp) < V, 0.0, -1e9).astype(jnp.float32)
+    return dataclasses.replace(params, emb=emb, head=head, logit_bias=bias)
 
 
 def quantize_params(params: RWKVParams) -> RWKVParams:

@@ -1,0 +1,149 @@
+"""Tensor/data parallelism on the 8-device virtual CPU mesh: sharded
+execution must be numerically identical to single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rwkv_tpu.models.config import RWKVConfig
+from rwkv_tpu.models.rwkv4 import (
+    forward_seq,
+    forward_step,
+    init_params,
+    init_state,
+    quantize_params,
+)
+from rwkv_tpu.parallel.mesh import make_mesh
+from rwkv_tpu.parallel.sharding import (
+    make_put,
+    param_pspecs,
+    shard_params,
+    shard_state,
+    state_pspecs,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    # E=128 so E and 4E divide the 4-way model axis cleanly
+    cfg = RWKVConfig.tiny_test(n_layer=2, n_embd=128, vocab_size=257)
+    params = quantize_params(init_params(jax.random.PRNGKey(9), cfg))
+    return cfg, params
+
+
+def test_mesh_shapes():
+    m = make_mesh(model=4, data=2)
+    assert m.shape == {"data": 2, "model": 4}
+    with pytest.raises(ValueError):
+        make_mesh(model=16, data=2)
+
+
+def test_pspec_tree_structure_matches(model):
+    cfg, params = model
+    specs = param_pspecs(params)
+    # must be zippable leaf-for-leaf
+    jax.tree.map(lambda a, b: None, params, specs)
+
+
+def test_tp_step_matches_single_device(model):
+    cfg, params = model
+    mesh = make_mesh(model=4, data=1)
+
+    state0 = init_state(cfg)
+    tok = jnp.asarray(42)
+    l_ref, s_ref = jax.jit(forward_step)(params, tok, state0)
+
+    p_sh = shard_params(params, mesh)
+    s_sh = shard_state(state0, mesh, batched=False)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = jax.jit(forward_step)(p_sh, tok, s_sh)
+
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref), rtol=2e-4, atol=2e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_tp_dp_batched_decode(model):
+    """Full 2x4 mesh: 4 streams DP-sharded x TP-sharded weights."""
+    cfg, params = model
+    mesh = make_mesh(model=4, data=2)
+    B = 4
+
+    state0 = init_state(cfg, (B,))
+    toks = jnp.asarray([1, 2, 3, 4])
+    l_ref, s_ref = jax.jit(forward_step)(params, toks, state0)
+
+    p_sh = shard_params(params, mesh)
+    s_sh = shard_state(state0, mesh, batched=True)
+    toks_sh = jax.device_put(toks, NamedSharding(mesh, P("data")))
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = jax.jit(forward_step)(p_sh, toks_sh, s_sh)
+
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_tp_prefill_matches(model):
+    cfg, params = model
+    mesh = make_mesh(model=8, data=1)
+    tokens = jnp.asarray(np.arange(13) % cfg.vocab_size)
+
+    state0 = init_state(cfg)
+    l_ref, s_ref = forward_seq(params, tokens, state0, parallel=True)
+
+    p_sh = shard_params(params, mesh)
+    s_sh = shard_state(state0, mesh, batched=False)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = jax.jit(
+            lambda p, t, s: forward_seq(p, t, s, parallel=True)
+        )(p_sh, tokens, s_sh)
+
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref), rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)
+
+
+def test_padded_vocab_fully_sharded(model):
+    """pad_vocab makes emb/head TP-shardable; logits for padded ids -1e9."""
+    from rwkv_tpu.models.rwkv4 import pad_vocab
+
+    cfg, params = model
+    padded = pad_vocab(params, multiple=128)  # 257 -> 384
+    assert padded.emb.shape[0] == 384
+
+    mesh = make_mesh(model=4, data=1)
+    p_sh = shard_params(padded, mesh)
+    assert p_sh.emb.sharding.spec == P("model", None)
+    assert p_sh.head.w.sharding.spec == P(None, "model")
+
+    s = init_state(cfg)
+    l_ref, _ = forward_step(params, jnp.asarray(7), s)
+    with jax.sharding.set_mesh(mesh):
+        l_pad, _ = jax.jit(forward_step)(
+            p_sh, jnp.asarray(7), shard_state(s, mesh, batched=False)
+        )
+    l_pad = np.asarray(l_pad)
+    np.testing.assert_allclose(l_pad[:257], np.asarray(l_ref), rtol=2e-4, atol=2e-4)
+    assert (l_pad[257:] < -1e8).all()
+
+
+def test_sharded_streaming_load(tmp_path):
+    """read_bin with the TP `put` lands weights pre-sharded."""
+    from rwkv_tpu.io.binfmt import read_bin, write_bin
+
+    cfg = RWKVConfig(n_layer=2, n_embd=16)
+    params = quantize_params(init_params(jax.random.PRNGKey(2), cfg))
+    path = str(tmp_path / "m.bin")
+    write_bin(path, params)
+
+    mesh = make_mesh(model=4, data=2)
+    loaded = read_bin(path, put=make_put(mesh))
+    km_sharding = loaded.att.key.w.sharding
+    assert km_sharding.spec == P(None, None, "model")
+    l0, _ = forward_step(params, jnp.asarray(3), init_state(cfg))
+    with jax.sharding.set_mesh(mesh):
+        l1, _ = jax.jit(forward_step)(
+            loaded, jnp.asarray(3), shard_state(init_state(cfg), mesh, batched=False)
+        )
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), rtol=2e-4, atol=2e-4)
