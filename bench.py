@@ -1,0 +1,130 @@
+"""Decode-throughput benchmark. Prints ONE JSON line.
+
+Primary metric (BASELINE.md): single-stream greedy decode tokens/sec on a
+u8-quantized RWKV-4 model on one TPU chip. The reference publishes no
+numbers ("published": {} in BASELINE.json), so vs_baseline is reported
+against the only principled yardstick: the HBM speed-of-light for this
+workload (weight bytes per token / chip HBM bandwidth) — i.e. the fraction
+of theoretical peak decode rate achieved. 1.0 = memory-bound optimum.
+
+Env knobs:
+  RWKV_TPU_BENCH_MODEL  — config name (169m|430m|1b5|3b|7b|14b), default 430m
+  RWKV_TPU_BENCH_STEPS  — decode steps per timed repetition (default 64)
+  RWKV_TPU_BENCH_BIN    — optional path to a real .bin checkpoint
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def weight_bytes_per_token(params) -> int:
+    """Bytes that must stream from HBM for one decode step: every quantized
+    matrix + scales/offsets + layernorms/mixes/decay/bonus + one emb row."""
+    from rwkv_tpu.ops.quant import QuantLinear
+
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    # emb is gathered one row at a time, not fully streamed
+    total -= params.emb.size * params.emb.dtype.itemsize
+    total += params.emb.shape[1] * params.emb.dtype.itemsize
+    return total
+
+
+def main():
+    name = os.environ.get("RWKV_TPU_BENCH_MODEL", "430m")
+    steps = int(os.environ.get("RWKV_TPU_BENCH_STEPS", "256"))
+    bin_path = os.environ.get("RWKV_TPU_BENCH_BIN")
+
+    from rwkv_tpu.models.config import RWKVConfig
+    from rwkv_tpu.models.rwkv4 import (
+        forward_step,
+        init_state,
+        random_quantized_params_np,
+    )
+
+    if bin_path:
+        from rwkv_tpu.io.binfmt import read_bin
+
+        params = read_bin(bin_path, pad_vocab_to=128)
+        cfg = params.config
+    else:
+        cfg = getattr(RWKVConfig, f"rwkv4_{name}")()
+        # host-side fabrication: only the final u8/f32 leaves cross to device
+        params = random_quantized_params_np(cfg, seed=0)
+
+    state = init_state(cfg)
+
+    # K greedy decode steps fully on device: the sampled token feeds back
+    # inside one jit (no host round-trips, like a real serving inner loop).
+    def decode_k(params, token, state):
+        def body(carry, _):
+            tok, st = carry
+            logits, st = forward_step(params, tok, st)
+            nxt = jnp.argmax(logits).astype(jnp.int32)
+            return (nxt, st), nxt
+
+        (tok, state), toks = jax.lax.scan(
+            body, (token, state), None, length=steps
+        )
+        return tok, state, toks
+
+    run = jax.jit(decode_k)
+    tok = jnp.asarray(187, jnp.int32)
+
+    # warmup + compile. NOTE: sync via host readback — on the tunneled
+    # 'axon' platform block_until_ready() returns before execution finishes,
+    # so np.asarray of an output scalar is the only trustworthy barrier.
+    import numpy as np
+
+    t0 = time.perf_counter()
+    tok2, state2, toks = run(params, tok, state)
+    np.asarray(tok2)
+    compile_s = time.perf_counter() - t0
+
+    # timed repetitions
+    reps = 5
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        tok2, state2, toks = run(params, tok, state)
+        np.asarray(toks[-1])
+        np.asarray(tok2)
+        best = min(best, time.perf_counter() - t0)
+
+    tok_s = steps / best
+    lat_ms = best / steps * 1e3
+
+    # speed-of-light: weight traffic / HBM bandwidth
+    dev = jax.devices()[0]
+    hbm_gbs = {
+        "TPU v4": 1228.0, "TPU v5 lite": 819.0, "TPU v5": 819.0,
+        "TPU v5p": 2765.0, "TPU v6 lite": 1640.0, "TPU v6e": 1640.0,
+    }
+    bw = next((v for k, v in hbm_gbs.items() if k in dev.device_kind), 819.0)
+    bpt = weight_bytes_per_token(params)
+    sol_tok_s = bw * 1e9 / bpt
+
+    print(json.dumps({
+        "metric": f"decode_tokens_per_sec_rwkv4_{name}_q8",
+        "value": round(tok_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_s / sol_tok_s, 4),
+        "extras": {
+            "p50_token_latency_ms": round(lat_ms, 3),
+            "speed_of_light_tokens_per_sec": round(sol_tok_s, 1),
+            "weight_bytes_per_token": bpt,
+            "device": dev.device_kind,
+            "assumed_hbm_GBps": bw,
+            "compile_s": round(compile_s, 1),
+            "n_layer": cfg.n_layer, "n_embd": cfg.n_embd,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

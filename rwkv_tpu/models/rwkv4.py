@@ -346,6 +346,69 @@ def init_params(
     )
 
 
+def random_quantized_params_np(
+    cfg: RWKVConfig, seed: int = 0, pad_multiple: int | None = 128
+) -> RWKVParams:
+    """Random u8-quantized params built entirely host-side in numpy — one
+    device_put per leaf at the end. Use for benches on remote/tunneled
+    devices where generating dense weights on-device and pulling them back
+    for quantization would round-trip gigabytes."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    E, L, V, F = cfg.n_embd, cfg.n_layer, cfg.vocab_size, cfg.n_ffn
+    Vp = V
+    if pad_multiple:
+        Vp = ((V + pad_multiple - 1) // pad_multiple) * pad_multiple
+
+    def qrand(shape):
+        """Directly fabricate a plausible QuantLinear: u8 weights + scales
+        sized like a quantized N(0, 1/sqrt(in)) matrix — no f32 detour."""
+        in_dim = shape[-2]
+        w = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        span = 8.0 * in_dim ** -0.5  # ~±4 sigma
+        scale = np.full(shape[:-1], span / 255.0, np.float32)
+        offset = np.full(shape[:-1], -span / 2.0, np.float32)
+        return QuantLinear(w=jnp.asarray(w), scale=jnp.asarray(scale),
+                           offset=jnp.asarray(offset))
+
+    def f32(a):
+        return jnp.asarray(np.asarray(a, np.float32))
+
+    def mix(shape):
+        return f32(rng.uniform(0.1, 0.9, size=shape))
+
+    emb = np.zeros((Vp, E), np.float32)
+    emb[:V] = rng.normal(0, 0.1, size=(V, E)).astype(np.float32)
+    logit_bias = None
+    if Vp != V:
+        lb = np.zeros((Vp,), np.float32)
+        lb[V:] = -1e9
+        logit_bias = f32(lb)
+
+    return RWKVParams(
+        emb=jnp.asarray(emb),
+        ln0=LNParams(f32(np.ones(E)), f32(np.zeros(E))),
+        ln1=LNParams(f32(np.ones((L, E))), f32(np.zeros((L, E)))),
+        ln2=LNParams(f32(np.ones((L, E))), f32(np.zeros((L, E)))),
+        att=AttParams(
+            mix_k=mix((L, E)), mix_v=mix((L, E)), mix_r=mix((L, E)),
+            key=qrand((L, E, E)), value=qrand((L, E, E)),
+            receptance=qrand((L, E, E)), output=qrand((L, E, E)),
+            decay=f32(-np.exp(rng.normal(size=(L, E)))),
+            bonus=f32(rng.normal(size=(L, E)) * 0.5),
+        ),
+        ffn=FFNParams(
+            mix_k=mix((L, E)), mix_r=mix((L, E)),
+            key=qrand((L, E, F)), value=qrand((L, F, E)),
+            receptance=qrand((L, E, E)),
+        ),
+        ln_out=LNParams(f32(np.ones(E)), f32(np.zeros(E))),
+        head=qrand((E, Vp)),
+        logit_bias=logit_bias,
+    )
+
+
 def pad_vocab(params: RWKVParams, multiple: int = 128) -> RWKVParams:
     """Pad the vocab dim of emb/head up to `multiple` (TPU lanes / TP
     divisibility — 50277 is 3x16759 and shards over nothing). Padded logits

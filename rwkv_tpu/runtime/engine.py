@@ -69,12 +69,15 @@ class RWKV:
         self.prefill_buckets = tuple(sorted(prefill_buckets))
         self._sharding = sharding
         self._state: Optional[WKVState] = None  # leaves [L, B, E]
+        self._last_logits: dict[int, jax.Array] = {}  # stream -> logits [V]
+        self._pending: dict[int, int] = {}  # emitted-but-not-absorbed token
 
         self._jit_step = jax.jit(forward_step)
         self._jit_prefill = jax.jit(
             partial(forward_seq, parallel=True), static_argnames=()
         )
         self._jit_decode = jax.jit(self._fused_decode)
+        self._jit_sample = jax.jit(self._sample)
 
         if model_path:
             self.load_file(model_path, max_streams)
@@ -119,6 +122,8 @@ class RWKV:
         self._require_loaded()
         if stream is None or self._state is None:
             self._state = init_state(self.config, (self.max_streams,))
+            self._last_logits = {}
+            self._pending = {}
         else:
             empty = init_state(self.config)
             self.set_state(empty, stream)
@@ -140,6 +145,26 @@ class RWKV:
         self._state = jax.tree.map(
             lambda pool, s: pool.at[:, stream].set(s), self._state, state
         )
+        self._last_logits.pop(stream, None)
+        self._pending.pop(stream, None)
+
+    def snapshot(self, stream: int = 0) -> dict:
+        """Full continuation point: state + decode bookkeeping. Cheap —
+        everything is immutable device data (reference analog: RWKVState
+        copy-ctor + manual lasttoken tracking, rwkv.h:173-191)."""
+        self._check_stream(stream)
+        return {
+            "state": self.get_state(stream),
+            "logits": self._last_logits.get(stream),
+            "pending": self._pending.get(stream),
+        }
+
+    def restore(self, snap: dict, stream: int = 0) -> None:
+        self.set_state(snap["state"], stream)
+        if snap.get("logits") is not None:
+            self._last_logits[stream] = snap["logits"]
+        if snap.get("pending") is not None:
+            self._pending[stream] = snap["pending"]
 
     def _check_stream(self, stream: int):
         self._require_loaded()
@@ -173,12 +198,19 @@ class RWKV:
                 )
             # state pool leaves are [L, B, E]; forward_step broadcasts over B
             logits, self._state = self._jit_step(self.params, toks, self._state)
+            for i in range(self.max_streams):
+                self._last_logits[i] = logits[i]
+                self._pending.pop(i, None)
             return logits
 
         if isinstance(tokens, (int, np.integer)):
             tokens = [int(tokens)]
         tokens = list(tokens)
         self._check_stream(stream)
+        # absorb a token that generate() emitted but did not yet feed back
+        pending = self._pending.pop(stream, None)
+        if pending is not None:
+            tokens = [pending] + tokens
         state = self.get_state(stream)
         logits = None
         for chunk_start in range(0, len(tokens), self.prefill_buckets[-1]):
@@ -198,6 +230,7 @@ class RWKV:
                     length=jnp.asarray(len(chunk), jnp.int32),
                 )
         self.set_state(state, stream)
+        self._last_logits[stream] = logits
         return logits
 
     def load_context(self, text: str, progress: bool = False, stream: int = 0) -> int:
@@ -225,6 +258,12 @@ class RWKV:
         nxt = typical(sub, logits, temp=temp, tau=tau).astype(jnp.int32)
         return nxt, state, key
 
+    @staticmethod
+    def _sample(logits, key, temp, tau, ban):
+        key, sub = jax.random.split(key)
+        logits = jnp.where(ban, -1e9, logits)
+        return typical(sub, logits, temp=temp, tau=tau).astype(jnp.int32), key
+
     def generate(
         self,
         prompt: str = "",
@@ -237,45 +276,75 @@ class RWKV:
         ban_tokens: Sequence[int] = (0,),
         stop: Optional[Sequence[str]] = None,
         on_text: Optional[Callable[[str], None]] = None,
+        first_token: Optional[int] = None,
     ) -> str:
         """Prompt-and-generate with typical sampling (the reference apps' loop,
-        examples/terminalchat/chat.cpp:75-88, minus the per-token D2H)."""
+        examples/terminalchat/chat.cpp:75-88, minus the per-token D2H).
+
+        first_token: when continuing from a restored state with no new prompt,
+        the token that produced that state's last update (so decoding resumes
+        exactly where the snapshot left off)."""
         if self.tokenizer is None:
             raise RuntimeError("tokenizer not loaded")
         self._require_loaded()
 
-        last = self.load_context(prompt, stream=stream) if prompt else 0
-        state = self.get_state(stream)
         key = jax.random.PRNGKey(seed)
         ban = np.zeros((self.config.vocab_size,), bool)
         for t in ban_tokens:
             ban[t] = True
         ban = jnp.asarray(ban)
+        tempf, tauf = jnp.float32(temp), jnp.float32(tau)
 
-        token = jnp.asarray(last, jnp.int32)
-        decoder = StreamDecoder(self.tokenizer)
-        pieces: list[str] = []
-        text = ""
-        for _ in range(max_tokens):
-            token, state, key = self._jit_decode(
-                self.params, token, state, key,
-                jnp.float32(temp), jnp.float32(tau), ban,
-            )
-            piece = decoder.feed([int(token)])
-            if piece:
-                pieces.append(piece)
-                if on_text:
-                    on_text(piece)
-            if stop:
-                text = "".join(pieces)
-                if any(s in text for s in stop):
-                    for s in stop:
-                        idx = text.find(s)
-                        if idx >= 0:
-                            text = text[:idx]
-                    break
+        # Obtain logits for the first new token WITHOUT re-processing the
+        # last prompt token (a reference quirk we fix: its decode loop
+        # forwards `lasttoken` again after loadContext already ingested it).
+        if prompt:
+            logits = self.forward(self.tokenizer.encode(prompt), stream=stream)
+        elif stream in self._last_logits and self._pending.get(stream) is None:
+            logits = self._last_logits[stream]
         else:
-            text = "".join(pieces) + decoder.flush()
+            seed_tok = self._pending.pop(stream, None)
+            if seed_tok is None:
+                seed_tok = first_token if first_token is not None else 0
+            logits = self.forward(int(seed_tok), stream=stream)
+
+        token, key = self._jit_sample(logits, key, tempf, tauf, ban)
+        state = self.get_state(stream)
+
+        decoder = StreamDecoder(self.tokenizer)
+        pieces: list[str] = [decoder.feed([int(token)])]
+        if on_text and pieces[-1]:
+            on_text(pieces[-1])
+
+        def stopped():
+            if not stop:
+                return None
+            joined = "".join(pieces)
+            hits = [joined.find(s) for s in stop if s in joined]
+            return min(hits) if hits else None
+
+        text: Optional[str] = None
+        cut = stopped()
+        if cut is None:
+            for _ in range(max_tokens - 1):
+                token, state, key = self._jit_decode(
+                    self.params, token, state, key, tempf, tauf, ban,
+                )
+                piece = decoder.feed([int(token)])
+                if piece:
+                    pieces.append(piece)
+                    if on_text:
+                        on_text(piece)
+                cut = stopped()
+                if cut is not None:
+                    break
+
+        if cut is not None:
+            text = "".join(pieces)[:cut]
+        else:
+            tail = decoder.flush()
+            text = "".join(pieces) + tail
 
         self.set_state(state, stream)
+        self._pending[stream] = int(token)  # emitted, not yet absorbed
         return text

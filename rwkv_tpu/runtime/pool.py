@@ -1,0 +1,247 @@
+"""Continuous-batching inference pool.
+
+The production equivalent of the reference's PARRALEL mode (N independent
+conversations advanced one token per kernel launch, rwkv.cu:238-239) plus
+what the reference lacks: slot lifecycle. Requests join and leave the batch
+at any step; one fused device program advances every active slot (forward +
+per-slot-temperature typical sampling), and only the B sampled token ids
+cross to the host, where stop-string/length bookkeeping runs.
+
+State pool: WKVState leaves [L, B, E] resident in HBM. Freed slots are
+reset to the empty state lazily on reuse.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkv_tpu.models.rwkv4 import (
+    RWKVParams,
+    WKVState,
+    forward_seq,
+    forward_step,
+    init_state,
+)
+from rwkv_tpu.ops.sampling import typical
+from rwkv_tpu.tokenizer.bpe import BPETokenizer, StreamDecoder
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt_ids: list[int]
+    max_tokens: int
+    temp: float
+    tau: float
+    seed: int
+    stop: Optional[Sequence[str]]
+    on_text: Optional[Callable[[str], None]]
+    # runtime
+    slot: int = -1
+    produced: int = 0
+    decoder: Optional[StreamDecoder] = None
+    pieces: list = dataclasses.field(default_factory=list)
+    done: bool = False
+    text: str = ""
+
+
+class InferencePool:
+    def __init__(
+        self,
+        params: RWKVParams,
+        tokenizer: BPETokenizer,
+        max_streams: int = 8,
+        prefill_bucket: int = 128,
+    ):
+        self.params = params
+        self.cfg = params.config
+        self.tok = tokenizer
+        self.B = max_streams
+        self.prefill_bucket = prefill_bucket
+
+        self._state = init_state(self.cfg, (self.B,))
+        self._tokens = np.zeros((self.B,), np.int32)
+        self._active = np.zeros((self.B,), bool)
+        self._keys = np.stack(
+            [np.asarray(jax.random.PRNGKey(i)) for i in range(self.B)]
+        )
+        self._temp = np.full((self.B,), 1.0, np.float32)
+        self._tau = np.full((self.B,), 0.8, np.float32)
+
+        self._free = list(range(self.B))
+        self._by_slot: dict[int, Request] = {}
+        self._queue: list[Request] = []
+        self._next_rid = 0
+
+        self._jit_step = jax.jit(self._batched_step)
+        self._jit_prefill = jax.jit(self._prefill)
+
+    # -- device programs ------------------------------------------------------
+
+    @staticmethod
+    def _batched_step(params, tokens, state, keys, temp, tau, active):
+        """Advance all B slots one token; sample per-slot params.
+
+        Inactive slots still compute (lockstep batch — that's the point of
+        continuous batching: the marginal cost of a dead slot is zero at
+        memory-bound batch sizes) but their state update is masked out.
+        """
+        logits, new_state = forward_step(params, tokens, state)  # [B, V]
+        logits = logits.at[:, 0].set(-1e9)  # ban <|endoftext|> id 0
+
+        def sample_one(key, lg, t, ta):
+            key, sub = jax.random.split(key)
+            return key, typical(sub, lg, temp=t, tau=ta).astype(jnp.int32)
+
+        keys, nxt = jax.vmap(sample_one)(keys, logits, temp, tau)
+        # mask state for inactive slots (keep old state)
+        act = active[None, :, None]  # broadcast over [L, B, E]
+        state = WKVState(*(jnp.where(act, n, o) for n, o in zip(new_state, state)))
+        nxt = jnp.where(active, nxt, 0)
+        return nxt, state, keys
+
+    @staticmethod
+    def _prefill(params, tokens, length, slot_state):
+        """Single-slot prompt ingest (parallel WKV scan), bucketed."""
+        logits, new_state = forward_seq(
+            params, tokens, slot_state, parallel=True, length=length
+        )
+        return logits, new_state
+
+    # -- public API -------------------------------------------------------------
+
+    def submit(
+        self,
+        prompt: str,
+        max_tokens: int = 128,
+        *,
+        temp: float = 0.9,
+        tau: float = 0.8,
+        seed: Optional[int] = None,
+        stop: Optional[Sequence[str]] = None,
+        on_text: Optional[Callable[[str], None]] = None,
+    ) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        req = Request(
+            rid=rid,
+            prompt_ids=self.tok.encode(prompt) or [0],
+            max_tokens=max_tokens,
+            temp=temp,
+            tau=tau,
+            seed=seed if seed is not None else rid,
+            stop=stop,
+            on_text=on_text,
+        )
+        self._queue.append(req)
+        return rid
+
+    @property
+    def pending(self) -> int:
+        return len(self._queue) + len(self._by_slot)
+
+    def _admit(self):
+        while self._queue and self._free:
+            req = self._queue.pop(0)
+            slot = self._free.pop(0)
+            req.slot = slot
+            req.decoder = StreamDecoder(self.tok)
+
+            # reset slot state, then prefill the prompt into it
+            empty = init_state(self.cfg)
+            slot_state = empty
+            ids = req.prompt_ids
+            bucket = self.prefill_bucket
+            logits = None
+            for i in range(0, len(ids), bucket):
+                chunk = ids[i : i + bucket]
+                padded = np.zeros((bucket,), np.int32)
+                padded[: len(chunk)] = chunk
+                logits, slot_state = self._jit_prefill(
+                    self.params,
+                    jnp.asarray(padded),
+                    jnp.asarray(len(chunk), jnp.int32),
+                    slot_state,
+                )
+            # first token sampled host-side from prefill logits
+            key = jax.random.PRNGKey(req.seed)
+            key, sub = jax.random.split(key)
+            lg = jnp.asarray(logits).at[0].set(-1e9)
+            first = int(typical(sub, lg, temp=req.temp, tau=req.tau))
+
+            self._state = jax.tree.map(
+                lambda pool, s: pool.at[:, slot].set(s), self._state, slot_state
+            )
+            self._tokens[slot] = first
+            self._keys[slot] = np.array(key)
+            self._temp[slot] = req.temp
+            self._tau[slot] = req.tau
+            self._active[slot] = True
+            self._by_slot[slot] = req
+            self._emit(req, first)
+
+    def _emit(self, req: Request, token: int):
+        req.produced += 1
+        piece = req.decoder.feed([token])
+        if piece:
+            req.pieces.append(piece)
+            if req.on_text:
+                req.on_text(piece)
+
+    def _finish(self, req: Request) -> Request:
+        text = "".join(req.pieces)
+        if req.stop:
+            hits = [text.find(s) for s in req.stop if s in text]
+            if hits:
+                text = text[: min(hits)]
+        req.text = text
+        req.done = True
+        slot = req.slot
+        self._active[slot] = False
+        del self._by_slot[slot]
+        self._free.append(slot)
+        return req
+
+    def step(self) -> list[Request]:
+        """Admit queued requests, advance the batch one token; returns
+        requests that completed this step."""
+        self._admit()
+        if not self._by_slot:
+            return []
+
+        nxt, self._state, keys = self._jit_step(
+            self.params,
+            jnp.asarray(self._tokens),
+            self._state,
+            jnp.asarray(self._keys),
+            jnp.asarray(self._temp),
+            jnp.asarray(self._tau),
+            jnp.asarray(self._active),
+        )
+        nxt_host = np.asarray(nxt)
+        self._keys = np.array(keys)
+
+        finished = []
+        for slot, req in list(self._by_slot.items()):
+            token = int(nxt_host[slot])
+            self._tokens[slot] = token
+            self._emit(req, token)
+
+            text = "".join(req.pieces)
+            hit_stop = req.stop and any(s in text for s in req.stop)
+            if req.produced >= req.max_tokens or hit_stop:
+                finished.append(self._finish(req))
+        return finished
+
+    def run(self) -> dict[int, str]:
+        """Drain everything; returns {rid: completion_text}."""
+        out = {}
+        while self.pending:
+            for req in self.step():
+                out[req.rid] = req.text
+        return out

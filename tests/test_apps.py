@@ -1,0 +1,93 @@
+"""App-level smoke tests (mock model + reference vocab fixture)."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import pytest
+
+VOCAB_DIR = "/root/reference/include/rwkv/tokenizer/vocab"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(VOCAB_DIR), reason="reference vocab not available"
+)
+
+
+def _args(extra=()):
+    return ["--mock", "--vocab", VOCAB_DIR, *extra]
+
+
+def test_storygen_runs(capsys):
+    from rwkv_tpu.apps.storygen import main
+
+    main(_args(["--stories", "2", "--max-tokens", "6"]))
+    out = capsys.readouterr().out
+    assert "=== story 1 ===" in out and "=== story 2 ===" in out
+
+
+def test_vectordb_ranks(capsys):
+    from rwkv_tpu.apps.vectordb import main
+
+    main(_args(["--query", "capital city of France", "--metric", "cosine"]))
+    out = capsys.readouterr().out
+    assert "query:" in out
+    # 5 facts indexed, top-3 printed
+    assert len([l for l in out.splitlines() if l.startswith("  ")]) == 3
+
+
+@pytest.fixture(scope="module")
+def server():
+    from http.server import ThreadingHTTPServer
+
+    from rwkv_tpu.apps._common import build_engine
+    from rwkv_tpu.apps.server import make_handler
+
+    class A:
+        mock, model, vocab, streams = True, None, VOCAB_DIR, 1
+        temp, tau, seed = 0.9, 0.8, 0
+
+    eng = build_engine(A)
+    lock = threading.Lock()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng, lock))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def _post(url, path, obj):
+    req = urllib.request.Request(
+        url + path, json.dumps(obj).encode(), {"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_server_health(server):
+    with urllib.request.urlopen(server + "/health") as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["model"]["vocab"] == 50277
+
+
+def test_server_complete(server):
+    code, body = _post(server, "/complete", {"prompt": "Hello", "max_tokens": 5})
+    assert code == 200
+    assert "completion" in body
+
+
+def test_server_tokenize_roundtrip(server):
+    code, body = _post(server, "/tokenize", {"text": "Hello world"})
+    assert code == 200
+    code, body2 = _post(server, "/detokenize", {"ids": body["ids"]})
+    assert body2["text"] == "Hello world"
+
+
+def test_server_bad_requests(server):
+    assert _post(server, "/complete", {})[0] == 400
+    assert _post(server, "/nope", {})[0] == 404
+    code, _ = _post(server, "/tokenize", {"nope": 1})
+    assert code == 400

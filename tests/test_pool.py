@@ -1,0 +1,69 @@
+"""Continuous-batching pool: lifecycle, isolation, determinism."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rwkv_tpu.models.config import RWKVConfig
+from rwkv_tpu.models.rwkv4 import init_params, quantize_params
+from rwkv_tpu.runtime.pool import InferencePool
+from rwkv_tpu.tokenizer.bpe import BPETokenizer
+
+VOCAB_DIR = "/root/reference/include/rwkv/tokenizer/vocab"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(VOCAB_DIR), reason="reference vocab not available"
+)
+
+
+@pytest.fixture(scope="module")
+def pool_setup():
+    cfg = RWKVConfig(n_layer=2, n_embd=16)
+    params = quantize_params(init_params(jax.random.PRNGKey(11), cfg))
+    tok = BPETokenizer.load(VOCAB_DIR)
+    return params, tok
+
+
+def test_more_requests_than_slots(pool_setup):
+    params, tok = pool_setup
+    pool = InferencePool(params, tok, max_streams=2, prefill_bucket=16)
+    rids = [pool.submit(f"Request number {i}", max_tokens=4) for i in range(5)]
+    out = pool.run()
+    assert sorted(out) == sorted(rids)
+    assert all(isinstance(v, str) for v in out.values())
+
+
+def test_streaming_callback(pool_setup):
+    params, tok = pool_setup
+    pool = InferencePool(params, tok, max_streams=2)
+    got = []
+    pool.submit("Hello", max_tokens=5, on_text=got.append)
+    pool.run()
+    assert "".join(got)  # some text streamed
+
+
+def test_deterministic_per_seed_independent_of_batchmates(pool_setup):
+    """A request's output depends only on its own prompt/seed — not on what
+    else is in the batch (true isolation, unlike naive batch sampling)."""
+    params, tok = pool_setup
+    pool1 = InferencePool(params, tok, max_streams=4)
+    a = pool1.submit("The capital", max_tokens=6, seed=42)
+    out1 = pool1.run()
+
+    pool2 = InferencePool(params, tok, max_streams=4)
+    b = pool2.submit("The capital", max_tokens=6, seed=42)
+    for i in range(3):
+        pool2.submit(f"Noise {i}", max_tokens=6, seed=100 + i)
+    out2 = pool2.run()
+
+    assert out1[a] == out2[b]
+
+
+def test_max_tokens_respected(pool_setup):
+    params, tok = pool_setup
+    pool = InferencePool(params, tok, max_streams=2)
+    rid = pool.submit("Count", max_tokens=3)
+    pool.run()
+    # produced counts tokens, pieces may merge; just ensure it terminated
+    assert pool.pending == 0
