@@ -9,8 +9,10 @@ of theoretical peak decode rate achieved. 1.0 = memory-bound optimum.
 
 Env knobs:
   RWKV_TPU_BENCH_MODEL  — config name (169m|430m|1b5|3b|7b|14b), default 430m
-  RWKV_TPU_BENCH_STEPS  — decode steps per timed repetition (default 64)
+  RWKV_TPU_BENCH_STEPS  — decode steps per timed repetition (default 256)
   RWKV_TPU_BENCH_BIN    — optional path to a real .bin checkpoint
+  RWKV_TPU_BENCH_IMPL   — 'fused' (Pallas decode-stack kernel, default) or
+                          'xla' (plain jnp forward_step)
 """
 
 import json
@@ -19,6 +21,12 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache: the fused decode kernel inside a long scan takes
+# minutes to compile; cache makes reruns instant.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/rwkv_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def weight_bytes_per_token(params) -> int:
@@ -59,12 +67,25 @@ def main():
 
     state = init_state(cfg)
 
+    impl = os.environ.get("RWKV_TPU_BENCH_IMPL", "fused")
+    tile = int(os.environ.get("RWKV_TPU_BENCH_TILE", "256"))
+    if impl == "fused":
+        import functools
+
+        from rwkv_tpu.models.rwkv4 import signedize_params
+        from rwkv_tpu.ops.pallas.decode_stack import forward_step_fused
+
+        params = signedize_params(params)
+        step_fn = functools.partial(forward_step_fused, tile=tile)
+    else:
+        step_fn = forward_step
+
     # K greedy decode steps fully on device: the sampled token feeds back
     # inside one jit (no host round-trips, like a real serving inner loop).
     def decode_k(params, token, state):
         def body(carry, _):
             tok, st = carry
-            logits, st = forward_step(params, tok, st)
+            logits, st = step_fn(params, tok, st)
             nxt = jnp.argmax(logits).astype(jnp.int32)
             return (nxt, st), nxt
 
@@ -110,7 +131,7 @@ def main():
     sol_tok_s = bw * 1e9 / bpt
 
     print(json.dumps({
-        "metric": f"decode_tokens_per_sec_rwkv4_{name}_q8",
+        "metric": f"decode_tokens_per_sec_rwkv4_{name}_q8_{impl}",
         "value": round(tok_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s / sol_tok_s, 4),

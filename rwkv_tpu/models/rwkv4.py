@@ -409,6 +409,34 @@ def random_quantized_params_np(
     )
 
 
+def signedize_params(params: RWKVParams) -> RWKVParams:
+    """Re-center every QuantLinear to signed int8 storage (ops.quant.to_signed)
+    — required by the Pallas kernels (Mosaic has no u8->float cast).
+    Numerically identical: (W-128)*r + (o+128r) == W*r + o."""
+    from rwkv_tpu.ops.quant import to_signed
+
+    def f(leaf):
+        return leaf
+
+    def conv(lin: Linear) -> Linear:
+        return to_signed(lin) if isinstance(lin, QuantLinear) else lin
+
+    return dataclasses.replace(
+        params,
+        att=dataclasses.replace(
+            params.att,
+            key=conv(params.att.key), value=conv(params.att.value),
+            receptance=conv(params.att.receptance), output=conv(params.att.output),
+        ),
+        ffn=dataclasses.replace(
+            params.ffn,
+            key=conv(params.ffn.key), value=conv(params.ffn.value),
+            receptance=conv(params.ffn.receptance),
+        ),
+        head=conv(params.head),
+    )
+
+
 def pad_vocab(params: RWKVParams, multiple: int = 128) -> RWKVParams:
     """Pad the vocab dim of emb/head up to `multiple` (TPU lanes / TP
     divisibility — 50277 is 3x16759 and shards over nothing). Padded logits

@@ -1,0 +1,363 @@
+"""The fused decode-stack kernel: all L layers of an RWKV-v4 decode step in
+ONE Pallas kernel launch.
+
+Why: at decode batch sizes RWKV is pure HBM streaming (~12·E² quantized
+weight bytes per layer per token). The XLA path spends ~15 kernel dispatches
+per layer on matvecs + elementwise glue (~1.5 us floor each), capping
+throughput well below the HBM roofline. Here the whole residual stack is a
+single kernel with grid (L, S): weights stream tile-by-tile HBM->VMEM
+(auto double-buffered by Pallas), the activation vector and all elementwise
+math (layernorm, token-shift mix, WKV recurrence, gating) stay in VMEM, and
+every weight byte is read exactly once per token.
+
+This is the TPU-native answer to the reference's per-op kernel chain
+(cuda_rwkv_parralel, include/rwkv/cuda/rwkv.cu:493-593): same op sequence,
+but MXU matmuls + VMEM residency + sequential-grid accumulation instead of
+~185 kernel launches with atomicAdd reductions.
+
+Phases per layer (grid dim s; TPU grids execute sequentially on a core):
+  s in [0, nE)        att: k/v/r tile matvecs + WKV tile + partial out-proj
+  s in [nE, 2nE)      ffn gate: sigmoid(receptance) tiles
+  s in [2nE, 2nE+nF)  ffn: key tile -> relu^2 -> partial value accumulation
+
+Weights are SIGNED int8 (ops.quant.to_signed; Mosaic has no u8->float cast).
+Per-input-channel affine dequant is algebraically split as in ops/quant.py:
+scales fold into the activation vector, offsets become rank-1 corrections
+accumulated in VMEM alongside the matmul partials.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rwkv_tpu.models.rwkv4 import RWKVParams, WKVState
+
+
+def _ln(x, w, b, eps=1e-8):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    c = x - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    return c * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _dot(a, b_i8):
+    return jax.lax.dot_general(
+        a, b_i8.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bsum(x):
+    """Row-sum broadcast across a full 128-lane register: [Bp, n] -> [Bp, 128]."""
+    s = jnp.sum(x, axis=-1, keepdims=True)
+    return jnp.broadcast_to(s, (x.shape[0], 128))
+
+
+def _decode_stack_kernel(
+    # inputs (refs) -------------------------------------------------------
+    x_in,                                   # [Bp, E] post-ln0 embedding
+    ln1_w, ln1_b, ln2_w, ln2_b,             # [1, E]
+    mix_k, mix_v, mix_r, fmix_k, fmix_r,    # [1, E]
+    decay, bonus,                           # [1, T] att-tile blocks
+    xy_in, aa_in, bb_in, pp_in, dd_in,      # [1,Bp,E] / [1,Bp,T] channel tiles
+    km, vm, rm,                             # [1, E, T] i8
+    kr, vr, rr, ko, vo, ro,                 # [1, E]
+    wout,                                   # [1, T, E] i8
+    wout_r, wout_o,                         # [1, T]
+    wg, gr, go,                             # [1,E,T] i8 / [1,E] / [1,E]
+    ffnk, fkr, fko,                         # [1,E,T] i8 / [1,E] / [1,E]
+    ffnv, fvr, fvo,                         # [1,T,E] i8 / [1,T] / [1,T]
+    # outputs --------------------------------------------------------------
+    y_out,                                  # [Bp, E]
+    xy_out, dd_out,                         # [1, Bp, E]
+    aa_out, bb_out, pp_out,                 # [1, Bp, T]
+    # scratch ---------------------------------------------------------------
+    xcur, xs_k, xs_v, xs_r, xs_fk, xs_fr, gate, zacc,
+    offs,                                   # [8, Bp, 128]
+    *,
+    n_att: int, n_ffn: int, tile: int, n_layer: int,
+):
+    l = pl.program_id(0)
+    s = pl.program_id(1)
+
+    OFFK, OFFV, OFFR, OUTO, FFK, FFR, FFV = range(7)
+
+    # ------------------------------------------------------------- att init
+    @pl.when(s == 0)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            xcur[:] = x_in[:]
+
+        xx = _ln(xcur[:], ln1_w[0], ln1_b[0])
+        xy = xy_in[0]
+        mk, mv, mr = mix_k[0], mix_v[0], mix_r[0]
+        ik = mk * xx + (1.0 - mk) * xy
+        iv = mv * xx + (1.0 - mv) * xy
+        ir = mr * xx + (1.0 - mr) * xy
+        xy_out[0] = xx
+        xs_k[:] = ik * kr[0]
+        xs_v[:] = iv * vr[0]
+        xs_r[:] = ir * rr[0]
+        offs[OFFK] = _bsum(ik * ko[0])
+        offs[OFFV] = _bsum(iv * vo[0])
+        offs[OFFR] = _bsum(ir * ro[0])
+        offs[OUTO] = jnp.zeros_like(offs[OUTO])
+
+    # ------------------------------------------------------------- att tiles
+    @pl.when(s < n_att)
+    def _():
+        k_t = _dot(xs_k[:], km[0]) + offs[OFFK][:, :1]
+        v_t = _dot(xs_v[:], vm[0]) + offs[OFFV][:, :1]
+        r_t = _dot(xs_r[:], rm[0]) + offs[OFFR][:, :1]
+
+        w_t = decay[0]
+        u_t = bonus[0]
+        aa = aa_in[0]
+        bb = bb_in[0]
+        pp = pp_in[0]
+
+        ww = u_t + k_t
+        q = jnp.maximum(pp, ww)
+        e1 = jnp.exp(pp - q)
+        e2 = jnp.exp(ww - q)
+        ywkv = (e1 * aa + e2 * v_t) / (e1 * bb + e2)
+
+        ww2 = pp + w_t
+        p2 = jnp.maximum(ww2, k_t)
+        f1 = jnp.exp(ww2 - p2)
+        f2 = jnp.exp(k_t - p2)
+        aa_out[0] = f1 * aa + f2 * v_t
+        bb_out[0] = f1 * bb + f2
+        pp_out[0] = p2
+
+        rwkv_t = (1.0 / (1.0 + jnp.exp(-r_t))) * ywkv
+        # row-parallel partial of the output projection + rank-1 offset acc
+        xcur[:] += _dot(rwkv_t * wout_r[0], wout[0])
+        offs[OUTO] += _bsum(rwkv_t * wout_o[0])
+
+    # ------------------------------------------------------------- gate init
+    @pl.when(s == n_att)
+    def _():
+        xcur[:] += offs[OUTO][:, :1]  # finish att: rank-1 offset term
+        xx2 = _ln(xcur[:], ln2_w[0], ln2_b[0])
+        dd = dd_in[0]
+        fk, fr = fmix_k[0], fmix_r[0]
+        ik = fk * xx2 + (1.0 - fk) * dd
+        ir = fr * xx2 + (1.0 - fr) * dd
+        dd_out[0] = xx2
+        xs_fk[:] = ik * fkr[0]
+        xs_fr[:] = ir * gr[0]
+        offs[FFK] = _bsum(ik * fko[0])
+        offs[FFR] = _bsum(ir * go[0])
+        offs[FFV] = jnp.zeros_like(offs[FFV])
+        zacc[:] = jnp.zeros_like(zacc)
+
+    # ------------------------------------------------------------- gate tiles
+    @pl.when(jnp.logical_and(s >= n_att, s < 2 * n_att))
+    def _():
+        j = s - n_att
+        g_t = _dot(xs_fr[:], wg[0]) + offs[FFR][:, :1]
+        gate[:, pl.ds(j * tile, tile)] = 1.0 / (1.0 + jnp.exp(-g_t))
+
+    # ------------------------------------------------------------- ffn tiles
+    @pl.when(s >= 2 * n_att)
+    def _():
+        h_t = _dot(xs_fk[:], ffnk[0]) + offs[FFK][:, :1]
+        h_t = jnp.maximum(h_t, 0.0)
+        h_t = h_t * h_t
+        zacc[:] += _dot(h_t * fvr[0], ffnv[0])
+        offs[FFV] += _bsum(h_t * fvo[0])
+
+        @pl.when(s == 2 * n_att + n_ffn - 1)
+        def _():
+            xcur[:] += gate[:] * (zacc[:] + offs[FFV][:, :1])
+
+            @pl.when(l == n_layer - 1)
+            def _():
+                y_out[:] = xcur[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def decode_stack(
+    x: jax.Array,            # [B, E] post-ln0 embedded token(s)
+    params: RWKVParams,      # quantized, SIGNED int8 weights
+    state: WKVState,         # leaves [L, B, E]
+    *,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, WKVState]:
+    """Run all L blocks on x. Returns (new x [B, E], new state)."""
+    att, ffn = params.att, params.ffn
+    if att.key.w.dtype != jnp.int8:
+        raise TypeError(
+            "decode_stack requires signed int8 weights; apply "
+            "rwkv_tpu.models.rwkv4 signedize/ops.quant.to_signed at load time"
+        )
+    L = att.decay.shape[0]
+    B, E = x.shape
+    F = ffn.key.w.shape[-1]
+    assert E % tile == 0 and F % tile == 0, (E, F, tile)
+    n_att, n_ffn = E // tile, F // tile
+    S = 2 * n_att + n_ffn
+
+    Bp = max(8, -(-B // 8) * 8)
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+        state = WKVState(
+            *(jnp.pad(s, ((0, 0), (0, Bp - B), (0, 0))) for s in state)
+        )
+
+    f32 = jnp.float32
+
+    def clamp(v, lo, hi):
+        return jnp.minimum(jnp.maximum(v, lo), hi)
+
+    j_att = lambda s: clamp(s, 0, n_att - 1)                    # noqa: E731
+    j_gate = lambda s: clamp(s - n_att, 0, n_att - 1)           # noqa: E731
+    j_ffn = lambda s: clamp(s - 2 * n_att, 0, n_ffn - 1)        # noqa: E731
+
+    # Per-layer vectors are lifted to [L, 1, X] so the trailing two block
+    # dims satisfy Mosaic's (8,128)-or-equal rule ((1,1,X): 1==1, X ok).
+    def r3(a):
+        return a.reshape(a.shape[0], 1, a.shape[1])
+
+    def row(width):
+        return pl.BlockSpec((1, 1, width), lambda l, s: (l, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    att_vec = pl.BlockSpec((1, 1, tile), lambda l, s: (l, 0, j_att(s)),
+                           memory_space=pltpu.VMEM)
+    ffn_vec = pl.BlockSpec((1, 1, tile), lambda l, s: (l, 0, j_ffn(s)),
+                           memory_space=pltpu.VMEM)
+    full_state = pl.BlockSpec((1, Bp, E), lambda l, s: (l, 0, 0),
+                              memory_space=pltpu.VMEM)
+    chan_state = pl.BlockSpec((1, Bp, tile), lambda l, s: (l, 0, j_att(s)),
+                              memory_space=pltpu.VMEM)
+
+    def colT(jm):
+        return pl.BlockSpec((1, E, tile), lambda l, s: (l, 0, jm(s)),
+                            memory_space=pltpu.VMEM)
+
+    def rowT(jm):
+        return pl.BlockSpec((1, tile, E), lambda l, s: (l, jm(s), 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((Bp, E), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
+        row(E), row(E), row(E), row(E),                   # ln1/ln2 w,b
+        row(E), row(E), row(E), row(E), row(E),           # mixes
+        att_vec, att_vec,                                  # decay, bonus
+        full_state, chan_state, chan_state, chan_state, full_state,
+        colT(j_att), colT(j_att), colT(j_att),            # km vm rm
+        row(E), row(E), row(E), row(E), row(E), row(E),   # kr vr rr ko vo ro
+        rowT(j_att), att_vec, att_vec,                    # wout, wout_r/o
+        colT(j_gate), row(E), row(E),                     # wg, gr, go
+        colT(j_ffn), row(E), row(E),                      # ffnk, fkr, fko
+        rowT(j_ffn), ffn_vec, ffn_vec,                    # ffnv, fvr, fvo
+    ]
+    out_specs = (
+        pl.BlockSpec((Bp, E), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bp, E), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bp, E), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bp, tile), lambda l, s: (l, 0, j_att(s)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bp, tile), lambda l, s: (l, 0, j_att(s)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bp, tile), lambda l, s: (l, 0, j_att(s)),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(shp, f32)
+        for shp in [(Bp, E)] + [(L, Bp, E)] * 5
+    )
+    scratch = [pltpu.VMEM((Bp, E), f32) for _ in range(8)]
+    scratch.append(pltpu.VMEM((8, Bp, 128), f32))
+
+    kernel = functools.partial(
+        _decode_stack_kernel,
+        n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L,
+    )
+    weight_bytes = L * (5 * E * E + 2 * E * F)
+    y, xy, dd, aa, bb, pp = pl.pallas_call(
+        kernel,
+        grid=(L, S),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * weight_bytes,
+            bytes_accessed=weight_bytes,
+            transcendentals=L * Bp * (4 * E + F),
+        ),
+    )(
+        x,
+        r3(params.ln1.weight), r3(params.ln1.bias),
+        r3(params.ln2.weight), r3(params.ln2.bias),
+        r3(att.mix_k), r3(att.mix_v), r3(att.mix_r),
+        r3(ffn.mix_k), r3(ffn.mix_r),
+        r3(att.decay), r3(att.bonus),
+        state.xy, state.aa, state.bb, state.pp, state.dd,
+        att.key.w, att.value.w, att.receptance.w,
+        r3(att.key.scale), r3(att.value.scale), r3(att.receptance.scale),
+        r3(att.key.offset), r3(att.value.offset), r3(att.receptance.offset),
+        att.output.w, r3(att.output.scale), r3(att.output.offset),
+        ffn.receptance.w, r3(ffn.receptance.scale), r3(ffn.receptance.offset),
+        ffn.key.w, r3(ffn.key.scale), r3(ffn.key.offset),
+        ffn.value.w, r3(ffn.value.scale), r3(ffn.value.offset),
+    )
+    return y[:B], WKVState(xy=xy[:, :B], aa=aa[:, :B], bb=bb[:, :B],
+                           pp=pp[:, :B], dd=dd[:, :B])
+
+
+def forward_step_fused(
+    params: RWKVParams, token: jax.Array, state: WKVState, *,
+    tile: int = 256, interpret: bool = False, head_a8: bool = True,
+) -> Tuple[jax.Array, WKVState]:
+    """Full decode step on the fused stack kernel: embed+ln0 and ln_out+head
+    stay in XLA (3 cheap dispatches); the L-layer body is one kernel.
+
+    Drop-in signature parity with models.rwkv4.forward_step for scalar or
+    [B] tokens (state leaves [L, E] or [L, B, E]).
+
+    head_a8: run the logits head as W8A8 on the native s8 MXU (~2x faster
+    head; ~0.4% activation-quant noise on logits, below the u8 weight
+    noise floor — set False for bit-parity with the XLA oracle)."""
+    from rwkv_tpu.ops.layernorm import layer_norm
+    from rwkv_tpu.ops.pallas.mm8 import mm8, mm8_a8
+    from rwkv_tpu.ops.quant import QuantLinear, qmatmul
+
+    unbatched = token.ndim == 0
+    tok = token[None] if unbatched else token
+    st = (
+        WKVState(*(s[:, None] for s in state)) if unbatched else state
+    )  # [L, 1, E]
+
+    x = params.emb[tok].astype(jnp.float32)  # [B, E]
+    x = layer_norm(x, params.ln0.weight, params.ln0.bias)
+
+    y, new_state = decode_stack(x, params, st, tile=tile, interpret=interpret)
+
+    h = layer_norm(y, params.ln_out.weight, params.ln_out.bias)
+    if isinstance(params.head, QuantLinear):
+        xs = h * params.head.scale
+        mm = mm8_a8 if head_a8 else mm8
+        logits = (mm(xs, params.head.w, interpret=interpret)
+                  + (h @ params.head.offset)[:, None])
+    else:
+        logits = h @ params.head
+    if params.logit_bias is not None:
+        logits = logits + params.logit_bias
+
+    if unbatched:
+        return logits[0], WKVState(*(s[:, 0] for s in new_state))
+    return logits, new_state

@@ -85,6 +85,19 @@ def quantize(w: jax.Array | np.ndarray, *, stochastic: bool = False) -> QuantLin
     )
 
 
+def to_signed(q: QuantLinear) -> QuantLinear:
+    """Re-center storage to int8: W8*r + o == (W8-128)*r + (o + 128*r).
+
+    Mosaic (Pallas TPU) has no uint8->float cast, and int8 is the native MXU
+    quant dtype; the checkpoint format stays u8 (reference-compatible), this
+    transform is applied once at load time.
+    """
+    if q.w.dtype == jnp.int8:
+        return q
+    w = (q.w.astype(jnp.int32) - 128).astype(jnp.int8)
+    return QuantLinear(w=w, scale=q.scale, offset=q.offset + 128.0 * q.scale)
+
+
 def dequantize(q: QuantLinear, dtype=jnp.float32) -> jax.Array:
     """Materialize the dense weight (tests/debug only — defeats the purpose)."""
     return (

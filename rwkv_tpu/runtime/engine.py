@@ -72,12 +72,8 @@ class RWKV:
         self._last_logits: dict[int, jax.Array] = {}  # stream -> logits [V]
         self._pending: dict[int, int] = {}  # emitted-but-not-absorbed token
 
-        self._jit_step = jax.jit(forward_step)
-        self._jit_prefill = jax.jit(
-            partial(forward_seq, parallel=True), static_argnames=()
-        )
-        self._jit_decode = jax.jit(self._fused_decode)
-        self._jit_sample = jax.jit(self._sample)
+        self._step_fn = forward_step
+        self._make_jits()
 
         if model_path:
             self.load_file(model_path, max_streams)
@@ -99,10 +95,54 @@ class RWKV:
             put = make_put(self._sharding)
         self.load_params(read_bin(path, put=put))
 
-    def load_params(self, params: RWKVParams) -> None:
-        """Use an already-built params pytree (tests, converters, sharded)."""
+    def _make_jits(self) -> None:
+        step = self._step_fn
+
+        def decode(params, token, state, key, temp, tau, ban):
+            logits, state = step(params, token, state)
+            logits = jnp.where(ban, -1e9, logits)
+            key, sub = jax.random.split(key)
+            nxt = typical(sub, logits, temp=temp, tau=tau).astype(jnp.int32)
+            return nxt, state, key
+
+        self._jit_step = jax.jit(step)
+        self._jit_prefill = jax.jit(partial(forward_seq, parallel=True))
+        self._jit_decode = jax.jit(decode)
+        self._jit_sample = jax.jit(self._sample)
+
+    def load_params(
+        self, params: RWKVParams, use_fused: Optional[bool] = None
+    ) -> None:
+        """Use an already-built params pytree (tests, converters, sharded).
+
+        use_fused: run decode steps through the single-launch Pallas
+        decode-stack kernel (ops/pallas/decode_stack.py). Default: auto —
+        on when running on a real TPU backend, unsharded, with quantized
+        weights and tile-divisible dims (~2x decode throughput).
+        """
+        from rwkv_tpu.ops.quant import QuantLinear
+
+        cfg = params.config
+        if use_fused is None:
+            use_fused = (
+                jax.default_backend() not in ("cpu",)
+                and self._sharding is None
+                and isinstance(params.att.key, QuantLinear)
+                and cfg.n_embd % 256 == 0
+                and cfg.n_ffn % 256 == 0
+            )
+        if use_fused:
+            from rwkv_tpu.models.rwkv4 import signedize_params
+            from rwkv_tpu.ops.pallas.decode_stack import forward_step_fused
+
+            params = signedize_params(params)
+            self._step_fn = forward_step_fused
+        else:
+            self._step_fn = forward_step
+        self._make_jits()
+
         self.params = params
-        self.config = params.config
+        self.config = cfg
         self.reset_state()
 
     def load_tokenizer(self, vocab_dir: str) -> None:
@@ -247,16 +287,6 @@ class RWKV:
     loadContext = load_context
 
     # -- generation ----------------------------------------------------------------
-
-    @staticmethod
-    def _fused_decode(params, token, state, key, temp, tau, ban):
-        """One decode step + typical sampling, fused into a single program so
-        only the token id leaves the device."""
-        logits, state = forward_step(params, token, state)
-        logits = jnp.where(ban, -1e9, logits)
-        key, sub = jax.random.split(key)
-        nxt = typical(sub, logits, temp=temp, tau=tau).astype(jnp.int32)
-        return nxt, state, key
 
     @staticmethod
     def _sample(logits, key, temp, tau, ban):

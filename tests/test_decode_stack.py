@@ -1,0 +1,99 @@
+"""Fused Pallas decode-stack kernel vs the pure-JAX oracle (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_tpu.models.config import RWKVConfig
+from rwkv_tpu.models.rwkv4 import (
+    forward_step,
+    init_params,
+    init_state,
+    quantize_params,
+    signedize_params,
+)
+from rwkv_tpu.ops.pallas.decode_stack import forward_step_fused
+from rwkv_tpu.ops.pallas.mm8 import qmatmul_pallas
+from rwkv_tpu.ops.quant import dequantize, qmatmul, quantize, to_signed
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = RWKVConfig.tiny_test(n_layer=3, n_embd=256, vocab_size=384)
+    params = signedize_params(
+        quantize_params(init_params(jax.random.PRNGKey(0), cfg))
+    )
+    return cfg, params
+
+
+def test_to_signed_identity(rng):
+    w = rng.normal(size=(32, 48)).astype(np.float32)
+    q = quantize(w)
+    qs = to_signed(q)
+    assert qs.w.dtype == jnp.int8
+    np.testing.assert_allclose(
+        np.asarray(dequantize(qs)), np.asarray(dequantize(q)), rtol=1e-5, atol=1e-5
+    )
+    x = rng.normal(size=(3, 32)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(qmatmul(jnp.asarray(x), qs)),
+        np.asarray(qmatmul(jnp.asarray(x), q)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_mm8_pallas_interpret(rng):
+    w = rng.normal(size=(96, 200)).astype(np.float32)
+    q = to_signed(quantize(w))
+    x = rng.normal(size=(3, 96)).astype(np.float32)
+    y_ref = np.asarray(qmatmul(jnp.asarray(x), q))
+    y_pal = np.asarray(qmatmul_pallas(jnp.asarray(x), q, interpret=True))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("B", [1, 2])
+def test_fused_step_matches_oracle(model, B):
+    cfg, params = model
+    if B == 1:
+        state = init_state(cfg)
+        tok = jnp.asarray(5)
+    else:
+        state = init_state(cfg, (B,))
+        tok = jnp.asarray([5, 9][:B])
+
+    l_ref, s_ref = forward_step(params, tok, state)
+    l_f, s_f = forward_step_fused(params, tok, state, tile=128, interpret=True,
+                                  head_a8=False)
+    np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_ref), rtol=1e-4, atol=1e-4)
+    for a, b in zip(s_f, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_step_state_carry(model):
+    """Multi-step decode: fused path tracks oracle over 4 tokens."""
+    cfg, params = model
+    s_r = s_f = init_state(cfg, (2,))
+    for t in ([3, 7], [1, 2], [9, 9], [100, 50]):
+        tok = jnp.asarray(t)
+        l_r, s_r = forward_step(params, tok, s_r)
+        l_f, s_f = forward_step_fused(params, tok, s_f, tile=128, interpret=True,
+                                      head_a8=False)
+    np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_r), rtol=2e-4, atol=2e-4)
+
+
+def test_head_a8_close_enough(model):
+    """W8A8 head: activation-quant noise stays well under the weight-quant
+    noise floor (sub-1% relative on logits)."""
+    cfg, params = model
+    state = init_state(cfg)
+    tok = jnp.asarray(5)
+    l_exact, _ = forward_step_fused(params, tok, state, tile=128,
+                                    interpret=True, head_a8=False)
+    l_a8, _ = forward_step_fused(params, tok, state, tile=128,
+                                 interpret=True, head_a8=True)
+    scale = float(jnp.abs(l_exact).max())
+    err = float(jnp.abs(l_a8 - l_exact).max())
+    assert err < 0.01 * scale + 0.02, (err, scale)
+    # top-1 prediction unchanged
+    assert int(jnp.argmax(l_a8)) == int(jnp.argmax(l_exact))
