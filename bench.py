@@ -107,18 +107,42 @@ def main():
     np.asarray(tok2)
     compile_s = time.perf_counter() - t0
 
-    # timed repetitions
+    # Two-length slope timing: the tunneled device adds a fixed ~30ms
+    # dispatch+sync floor per call; timing K and 2K steps and taking the
+    # difference measures pure per-token device time.
+    import functools as _ft
+
+    def decode_k2(params, token, state):
+        def body(carry, _):
+            tok, st = carry
+            logits, st = step_fn(params, tok, st)
+            nxt = jnp.argmax(logits).astype(jnp.int32)
+            return (nxt, st), nxt
+
+        (tok, state), toks = jax.lax.scan(
+            body, (token, state), None, length=2 * steps
+        )
+        return tok, state, toks
+
+    run2 = jax.jit(decode_k2)
+    tok3, _, _ = run2(params, tok, state)
+    np.asarray(tok3)
+
     reps = 5
-    best = float("inf")
+    b1 = b2 = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         tok2, state2, toks = run(params, tok, state)
-        np.asarray(toks[-1])
         np.asarray(tok2)
-        best = min(best, time.perf_counter() - t0)
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        tok3, _, toks2 = run2(params, tok, state)
+        np.asarray(tok3)
+        b2 = min(b2, time.perf_counter() - t0)
 
-    tok_s = steps / best
-    lat_ms = best / steps * 1e3
+    per_tok = max(b2 - b1, 1e-9) / steps
+    tok_s = 1.0 / per_tok
+    lat_ms = per_tok * 1e3
 
     # speed-of-light: weight traffic / HBM bandwidth
     dev = jax.devices()[0]

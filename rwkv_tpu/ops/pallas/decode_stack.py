@@ -321,7 +321,7 @@ def decode_stack(
 
 def forward_step_fused(
     params: RWKVParams, token: jax.Array, state: WKVState, *,
-    tile: int = 256, interpret: bool = False, head_a8: bool = True,
+    tile: int = 256, interpret: bool = False, head_a8: bool = False,
 ) -> Tuple[jax.Array, WKVState]:
     """Full decode step on the fused stack kernel: embed+ln0 and ln_out+head
     stay in XLA (3 cheap dispatches); the L-layer body is one kernel.
@@ -329,9 +329,10 @@ def forward_step_fused(
     Drop-in signature parity with models.rwkv4.forward_step for scalar or
     [B] tokens (state leaves [L, E] or [L, B, E]).
 
-    head_a8: run the logits head as W8A8 on the native s8 MXU (~2x faster
-    head; ~0.4% activation-quant noise on logits, below the u8 weight
-    noise floor — set False for bit-parity with the XLA oracle)."""
+    head_a8: run the logits head as W8A8 on the native s8 MXU. Wins in
+    isolation but not in the full v5e pipeline (the scheduler hides most of
+    the head's convert cost; the activation-quant ops add latency back), so
+    default False; kept for larger-vocab/batch regimes."""
     from rwkv_tpu.ops.layernorm import layer_norm
     from rwkv_tpu.ops.pallas.mm8 import mm8, mm8_a8
     from rwkv_tpu.ops.quant import QuantLinear, qmatmul
