@@ -145,8 +145,19 @@ class RWKV:
         self.config = cfg
         self.reset_state()
 
-    def load_tokenizer(self, vocab_dir: str) -> None:
-        self.tokenizer = BPETokenizer.load(vocab_dir)
+    def load_tokenizer(self, vocab_dir: str, native: Optional[bool] = None) -> None:
+        """Load the BPE tokenizer; prefers the native C++ implementation
+        (rwkv_tpu/tokenizer/native.py) unless native=False."""
+        if native is False:
+            self.tokenizer = BPETokenizer.load(vocab_dir)
+            return
+        from rwkv_tpu.tokenizer.native import load_best
+
+        self.tokenizer = (
+            load_best(vocab_dir) if native is None
+            else __import__("rwkv_tpu.tokenizer.native", fromlist=["x"])
+            .NativeBPETokenizer.load(vocab_dir)
+        )
 
     # reference-spelling aliases
     loadFile = load_file
@@ -205,6 +216,28 @@ class RWKV:
             self._last_logits[stream] = snap["logits"]
         if snap.get("pending") is not None:
             self._pending[stream] = snap["pending"]
+
+    def save_state(self, path: str, stream: int = 0) -> None:
+        """Persist a stream's full continuation point to disk (the durable
+        analog of the reference's in-memory RWKVState snapshots — enables
+        session resume across processes)."""
+        snap = self.snapshot(stream)
+        arrays = {f"state_{k}": np.asarray(v)
+                  for k, v in zip(WKVState._fields, snap["state"])}
+        if snap.get("logits") is not None:
+            arrays["logits"] = np.asarray(snap["logits"])
+        if snap.get("pending") is not None:
+            arrays["pending"] = np.asarray(snap["pending"], np.int64)
+        np.savez_compressed(path, **arrays)
+
+    def load_state(self, path: str, stream: int = 0) -> None:
+        with np.load(path) as z:
+            state = WKVState(*(jnp.asarray(z[f"state_{k}"])
+                               for k in WKVState._fields))
+            snap = {"state": state,
+                    "logits": jnp.asarray(z["logits"]) if "logits" in z else None,
+                    "pending": int(z["pending"]) if "pending" in z else None}
+        self.restore(snap, stream)
 
     def _check_stream(self, stream: int):
         self._require_loaded()
@@ -377,4 +410,9 @@ class RWKV:
 
         self.set_state(state, stream)
         self._pending[stream] = int(token)  # emitted, not yet absorbed
+
+        from rwkv_tpu.utils.metrics import metrics
+
+        metrics.inc("engine.generate_calls")
+        metrics.inc("engine.tokens_generated", len(pieces))
         return text
