@@ -13,6 +13,11 @@ Env knobs:
   RWKV_TPU_BENCH_BIN    — optional path to a real .bin checkpoint
   RWKV_TPU_BENCH_IMPL   — 'fused' (Pallas decode-stack kernel, default) or
                           'xla' (plain jnp forward_step)
+  RWKV_TPU_BENCH_BATCH  — number of independent decode streams (default 1);
+                          >1 reports aggregate tokens/s (continuous batching)
+  RWKV_TPU_BENCH_TILE   — fused kernel tile (default auto)
+  RWKV_TPU_BENCH_MODE   — 'decode' (default) or 'prefill' (parallel-scan
+                          prompt ingest throughput, T=512 chunks)
 """
 
 import json
@@ -43,9 +48,52 @@ def weight_bytes_per_token(params) -> int:
     return total
 
 
+def bench_prefill(cfg, params, name, T=512, reps=4):
+    """Prompt-ingest throughput: parallel-WKV chunked prefill, XLA path."""
+    import numpy as np
+
+    from rwkv_tpu.models.rwkv4 import forward_seq, init_state
+
+    state = init_state(cfg)
+    toks = jnp.asarray(np.arange(T) % 50000, jnp.int32)
+
+    def ingest(params, toks, state, n_chunks):
+        def body(st, _):
+            logits, st = forward_seq(params, toks, st, parallel=True)
+            return st, logits[..., 0]
+        st, lg = jax.lax.scan(body, state, None, length=n_chunks)
+        return st, lg
+
+    import functools as ft
+    import numpy as np
+
+    r1 = jax.jit(ft.partial(ingest, n_chunks=4))
+    r2 = jax.jit(ft.partial(ingest, n_chunks=8))
+    np.asarray(r1(params, toks, state)[1][-1])
+    np.asarray(r2(params, toks, state)[1][-1])
+    import time as tt
+    b1 = b2 = float("inf")
+    for _ in range(reps):
+        t0 = tt.perf_counter(); np.asarray(r1(params, toks, state)[1][-1])
+        b1 = min(b1, tt.perf_counter() - t0)
+        t0 = tt.perf_counter(); np.asarray(r2(params, toks, state)[1][-1])
+        b2 = min(b2, tt.perf_counter() - t0)
+    per_chunk = max(b2 - b1, 1e-9) / 4
+    tok_s = T / per_chunk
+    print(json.dumps({
+        "metric": f"prefill_tokens_per_sec_rwkv4_{name}_q8",
+        "value": round(tok_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": 1.0,
+        "extras": {"chunk": T, "ms_per_chunk": round(per_chunk * 1e3, 2),
+                   "n_layer": cfg.n_layer, "n_embd": cfg.n_embd},
+    }))
+
+
 def main():
     name = os.environ.get("RWKV_TPU_BENCH_MODEL", "430m")
-    steps = int(os.environ.get("RWKV_TPU_BENCH_STEPS", "256"))
+    steps = int(os.environ.get("RWKV_TPU_BENCH_STEPS", "128"))
+    batch = int(os.environ.get("RWKV_TPU_BENCH_BATCH", "1"))
     bin_path = os.environ.get("RWKV_TPU_BENCH_BIN")
 
     from rwkv_tpu.models.config import RWKVConfig
@@ -65,10 +113,16 @@ def main():
         # host-side fabrication: only the final u8/f32 leaves cross to device
         params = random_quantized_params_np(cfg, seed=0)
 
-    state = init_state(cfg)
+    state = init_state(cfg, (batch,)) if batch > 1 else init_state(cfg)
+
+    mode = os.environ.get("RWKV_TPU_BENCH_MODE", "decode")
+    if mode == "prefill":
+        bench_prefill(cfg, params, name)
+        return
 
     impl = os.environ.get("RWKV_TPU_BENCH_IMPL", "fused")
-    tile = int(os.environ.get("RWKV_TPU_BENCH_TILE", "256"))
+    tile_env = os.environ.get("RWKV_TPU_BENCH_TILE")
+    tile = int(tile_env) if tile_env else None
     if impl == "fused":
         import functools
 
@@ -86,7 +140,7 @@ def main():
         def body(carry, _):
             tok, st = carry
             logits, st = step_fn(params, tok, st)
-            nxt = jnp.argmax(logits).astype(jnp.int32)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (nxt, st), nxt
 
         (tok, state), toks = jax.lax.scan(
@@ -95,7 +149,10 @@ def main():
         return tok, state, toks
 
     run = jax.jit(decode_k)
-    tok = jnp.asarray(187, jnp.int32)
+    if batch > 1:
+        tok = jnp.full((batch,), 187, jnp.int32)
+    else:
+        tok = jnp.asarray(187, jnp.int32)
 
     # warmup + compile. NOTE: sync via host readback — on the tunneled
     # 'axon' platform block_until_ready() returns before execution finishes,
@@ -116,7 +173,7 @@ def main():
         def body(carry, _):
             tok, st = carry
             logits, st = step_fn(params, tok, st)
-            nxt = jnp.argmax(logits).astype(jnp.int32)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (nxt, st), nxt
 
         (tok, state), toks = jax.lax.scan(
@@ -140,9 +197,9 @@ def main():
         np.asarray(tok3)
         b2 = min(b2, time.perf_counter() - t0)
 
-    per_tok = max(b2 - b1, 1e-9) / steps
-    tok_s = 1.0 / per_tok
-    lat_ms = per_tok * 1e3
+    per_step = max(b2 - b1, 1e-9) / steps
+    tok_s = batch / per_step
+    lat_ms = per_step * 1e3
 
     # speed-of-light: weight traffic / HBM bandwidth
     dev = jax.devices()[0]
@@ -155,7 +212,8 @@ def main():
     sol_tok_s = bw * 1e9 / bpt
 
     print(json.dumps({
-        "metric": f"decode_tokens_per_sec_rwkv4_{name}_q8_{impl}",
+        "metric": f"decode_tokens_per_sec_rwkv4_{name}_q8_{impl}"
+                  + (f"_b{batch}" if batch > 1 else ""),
         "value": round(tok_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s / sol_tok_s, 4),
@@ -166,7 +224,7 @@ def main():
             "device": dev.device_kind,
             "assumed_hbm_GBps": bw,
             "compile_s": round(compile_s, 1),
-            "n_layer": cfg.n_layer, "n_embd": cfg.n_embd,
+            "n_layer": cfg.n_layer, "n_embd": cfg.n_embd, "batch": batch,
         },
     }))
 

@@ -185,13 +185,21 @@ def _decode_stack_kernel(
                 y_out[:] = xcur[:]
 
 
+def pick_tile(n_embd: int, preferred: int = 512) -> int:
+    """Largest lane-aligned tile <= preferred dividing E (and hence 4E)."""
+    for t in (preferred, 512, 384, 256, 128):
+        if t <= preferred and n_embd % t == 0:
+            return t
+    raise ValueError(f"n_embd {n_embd} not divisible by any 128-multiple tile")
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def decode_stack(
     x: jax.Array,            # [B, E] post-ln0 embedded token(s)
     params: RWKVParams,      # quantized, SIGNED int8 weights
     state: WKVState,         # leaves [L, B, E]
     *,
-    tile: int = 256,
+    tile: int | None = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, WKVState]:
     """Run all L blocks on x. Returns (new x [B, E], new state)."""
@@ -204,6 +212,8 @@ def decode_stack(
     L = att.decay.shape[0]
     B, E = x.shape
     F = ffn.key.w.shape[-1]
+    if tile is None:
+        tile = pick_tile(E)
     assert E % tile == 0 and F % tile == 0, (E, F, tile)
     n_att, n_ffn = E // tile, F // tile
     S = 2 * n_att + n_ffn
@@ -321,7 +331,7 @@ def decode_stack(
 
 def forward_step_fused(
     params: RWKVParams, token: jax.Array, state: WKVState, *,
-    tile: int = 256, interpret: bool = False, head_a8: bool = False,
+    tile: int | None = None, interpret: bool = False, head_a8: bool = False,
 ) -> Tuple[jax.Array, WKVState]:
     """Full decode step on the fused stack kernel: embed+ln0 and ln_out+head
     stay in XLA (3 cheap dispatches); the L-layer body is one kernel.
