@@ -185,11 +185,19 @@ def _decode_stack_kernel(
                 y_out[:] = xcur[:]
 
 
-def pick_tile(n_embd: int, preferred: int = 512) -> int:
-    """Largest lane-aligned tile <= preferred dividing E (and hence 4E)."""
+def pick_tile(n_embd: int, preferred: int = 512,
+              vmem_budget: int = 15 * 1024 * 1024) -> int:
+    """Largest lane-aligned tile dividing E that keeps the double-buffered
+    weight blocks (7 tiles of E x tile int8 per grid step) inside VMEM.
+
+    E<=2048 -> 512, E=4096 -> 256, E=5120 -> 128 on a 16MB-VMEM core
+    (15MB budget: an E=2048,tile=512 config measured fine at 14.7MB).
+    """
     for t in (preferred, 512, 384, 256, 128):
-        if t <= preferred and n_embd % t == 0:
+        if t <= preferred and n_embd % t == 0 and 14 * n_embd * t <= vmem_budget:
             return t
+    if n_embd % 128 == 0:
+        return 128
     raise ValueError(f"n_embd {n_embd} not divisible by any 128-multiple tile")
 
 

@@ -89,11 +89,14 @@ class RWKV:
         if max_streams is not None:
             self.max_streams = max_streams
         put = None
+        pad_to = None
         if self._sharding is not None:
             from rwkv_tpu.parallel.sharding import make_put
 
+            mesh = getattr(self._sharding, "mesh", self._sharding)
             put = make_put(self._sharding)
-        self.load_params(read_bin(path, put=put))
+            pad_to = 128 * mesh.shape["model"]  # TP-divisible vocab
+        self.load_params(read_bin(path, put=put, pad_vocab_to=pad_to))
 
     def _make_jits(self) -> None:
         step = self._step_fn
@@ -284,6 +287,8 @@ class RWKV:
         pending = self._pending.pop(stream, None)
         if pending is not None:
             tokens = [pending] + tokens
+        if not tokens:
+            raise ValueError("forward() needs at least one token")
         state = self.get_state(stream)
         logits = None
         for chunk_start in range(0, len(tokens), self.prefill_buckets[-1]):
@@ -350,6 +355,10 @@ class RWKV:
         if self.tokenizer is None:
             raise RuntimeError("tokenizer not loaded")
         self._require_loaded()
+        if max_tokens <= 0:
+            if prompt:
+                self.load_context(prompt, stream=stream)
+            return ""
 
         key = jax.random.PRNGKey(seed)
         ban = np.zeros((self.config.vocab_size,), bool)

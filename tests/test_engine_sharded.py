@@ -1,0 +1,44 @@
+"""Engine over a virtual TP mesh: full sharded serving path end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_tpu.models.config import RWKVConfig
+from rwkv_tpu.models.rwkv4 import init_params, quantize_params
+from rwkv_tpu.parallel.mesh import make_mesh
+from rwkv_tpu.parallel.sharding import ShardingContext
+from rwkv_tpu.runtime.engine import RWKV
+
+
+@pytest.fixture(scope="module")
+def binfile(tmp_path_factory):
+    from rwkv_tpu.io.binfmt import write_bin
+
+    cfg = RWKVConfig(n_layer=2, n_embd=128)
+    params = quantize_params(init_params(jax.random.PRNGKey(21), cfg))
+    path = str(tmp_path_factory.mktemp("m") / "m.bin")
+    write_bin(path, params)
+    return path
+
+
+def test_sharded_engine_matches_unsharded(binfile):
+    eng = RWKV(binfile)
+    l_ref = np.asarray(eng.forward([3, 4, 5]))
+
+    mesh = make_mesh(model=4, data=1)
+    with jax.sharding.set_mesh(mesh):
+        eng_tp = RWKV(sharding=ShardingContext(mesh))
+        eng_tp.load_file(binfile)
+        # vocab padded for TP: logits longer; compare the real prefix
+        l_tp = np.asarray(eng_tp.forward([3, 4, 5]))
+    V = l_ref.shape[-1]
+    assert l_tp.shape[-1] >= V
+    np.testing.assert_allclose(l_tp[:V], l_ref, rtol=3e-4, atol=3e-4)
+    assert (l_tp[V:] < -1e8).all()
+
+    # sharded weight placement actually happened
+    assert eng_tp.params.att.key.w.sharding.spec == jax.sharding.PartitionSpec(
+        None, None, "model"
+    )
