@@ -100,7 +100,7 @@ def main():
     from rwkv_tpu.models.rwkv4 import (
         forward_step,
         init_state,
-        random_quantized_params_np,
+        random_quantized_params_device,
     )
 
     if bin_path:
@@ -110,8 +110,8 @@ def main():
         cfg = params.config
     else:
         cfg = getattr(RWKVConfig, f"rwkv4_{name}")()
-        # host-side fabrication: only the final u8/f32 leaves cross to device
-        params = random_quantized_params_np(cfg, seed=0)
+        # on-device fabrication: no multi-GB host->device transfer
+        params = random_quantized_params_device(cfg, seed=0)
 
     state = init_state(cfg, (batch,)) if batch > 1 else init_state(cfg)
 

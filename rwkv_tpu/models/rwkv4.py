@@ -437,6 +437,76 @@ def signedize_params(params: RWKVParams) -> RWKVParams:
     )
 
 
+def random_quantized_params_device(
+    cfg: RWKVConfig, seed: int = 0, pad_multiple: int | None = 128,
+    signed: bool = True,
+) -> RWKVParams:
+    """Random quantized params generated ON-DEVICE (jit'd PRNG per leaf) —
+    zero bulk host->device transfer. For benching big models over slow
+    links where even fabricating 7GB host-side and shipping it is minutes."""
+    E, L, V, F = cfg.n_embd, cfg.n_layer, cfg.vocab_size, cfg.n_ffn
+    Vp = V
+    if pad_multiple:
+        Vp = ((V + pad_multiple - 1) // pad_multiple) * pad_multiple
+
+    kit = iter(jax.random.split(jax.random.PRNGKey(seed), 32))
+
+    @partial_jit_shape
+    def qw(key, shape):
+        if signed:
+            return jax.random.randint(key, shape, -128, 128, dtype=jnp.int8)
+        return jax.random.randint(key, shape, 0, 256, dtype=jnp.uint8)
+
+    def qrand(shape):
+        in_dim = shape[-2]
+        span = 8.0 * in_dim ** -0.5
+        scale = jnp.full(shape[:-1], span / 255.0, jnp.float32)
+        off0 = -span / 2.0 + (128.0 * span / 255.0 if signed else 0.0)
+        offset = jnp.full(shape[:-1], off0, jnp.float32)
+        return QuantLinear(w=qw(next(kit), shape), scale=scale, offset=offset)
+
+    def mix(shape):
+        return jax.random.uniform(next(kit), shape, minval=0.1, maxval=0.9)
+
+    emb = jnp.zeros((Vp, E), jnp.float32)
+    emb = emb.at[:V].set(jax.random.normal(next(kit), (V, E)) * 0.1)
+    logit_bias = None
+    if Vp != V:
+        logit_bias = jnp.where(jnp.arange(Vp) < V, 0.0, -1e9).astype(jnp.float32)
+
+    ones = lambda *s: jnp.ones(s, jnp.float32)     # noqa: E731
+    zeros = lambda *s: jnp.zeros(s, jnp.float32)   # noqa: E731
+
+    return RWKVParams(
+        emb=emb,
+        ln0=LNParams(ones(E), zeros(E)),
+        ln1=LNParams(ones(L, E), zeros(L, E)),
+        ln2=LNParams(ones(L, E), zeros(L, E)),
+        att=AttParams(
+            mix_k=mix((L, E)), mix_v=mix((L, E)), mix_r=mix((L, E)),
+            key=qrand((L, E, E)), value=qrand((L, E, E)),
+            receptance=qrand((L, E, E)), output=qrand((L, E, E)),
+            decay=-jnp.exp(jax.random.normal(next(kit), (L, E))),
+            bonus=jax.random.normal(next(kit), (L, E)) * 0.5,
+        ),
+        ffn=FFNParams(
+            mix_k=mix((L, E)), mix_r=mix((L, E)),
+            key=qrand((L, E, F)), value=qrand((L, F, E)),
+            receptance=qrand((L, E, E)),
+        ),
+        ln_out=LNParams(ones(E), zeros(E)),
+        head=qrand((E, Vp)),
+        logit_bias=logit_bias,
+    )
+
+
+def partial_jit_shape(f):
+    """jit with the shape argument static (helper for on-device fabrication)."""
+    import functools
+
+    return functools.partial(jax.jit, static_argnums=(1,))(f)
+
+
 def pad_vocab(params: RWKVParams, multiple: int = 128) -> RWKVParams:
     """Pad the vocab dim of emb/head up to `multiple` (TPU lanes / TP
     divisibility — 50277 is 3x16759 and shards over nothing). Padded logits
