@@ -11,7 +11,9 @@ Env knobs:
   RWKV_TPU_BENCH_MODEL  — config name (169m|430m|1b5|3b|7b|14b), default 430m
   RWKV_TPU_BENCH_STEPS  — decode steps per timed repetition (default 256)
   RWKV_TPU_BENCH_BIN    — optional path to a real .bin checkpoint
-  RWKV_TPU_BENCH_IMPL   — 'fused' (Pallas decode-stack kernel, default) or
+  RWKV_TPU_BENCH_IMPL   — 'fused' (Pallas decode-stack kernel, default),
+                          'fused_a8' (native s8xs8 MXU, no widening pass;
+                          adds activation-quant noise), or
                           'xla' (plain jnp forward_step)
   RWKV_TPU_BENCH_BATCH  — number of independent decode streams (default 1);
                           >1 reports aggregate tokens/s (continuous batching)
@@ -123,14 +125,15 @@ def main():
     impl = os.environ.get("RWKV_TPU_BENCH_IMPL", "fused")
     tile_env = os.environ.get("RWKV_TPU_BENCH_TILE")
     tile = int(tile_env) if tile_env else None
-    if impl == "fused":
+    if impl in ("fused", "fused_a8"):
         import functools
 
         from rwkv_tpu.models.rwkv4 import signedize_params
         from rwkv_tpu.ops.pallas.decode_stack import forward_step_fused
 
         params = signedize_params(params)
-        step_fn = functools.partial(forward_step_fused, tile=tile)
+        step_fn = functools.partial(forward_step_fused, tile=tile,
+                                    a8=(impl == "fused_a8"))
     else:
         step_fn = forward_step
 

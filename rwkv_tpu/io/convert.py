@@ -110,11 +110,39 @@ def convert(pth_path: str, out_path: str) -> None:
     print("done", file=sys.stderr)
 
 
+def _pick_file_gui() -> str | None:
+    """GUI file picker fallback when no path is given on the command line
+    (parity with the reference converter's tkinter fallback,
+    converter/convert_model.py:220-248). Returns None if tkinter or a
+    display is unavailable."""
+    try:
+        import tkinter as tk
+        from tkinter import filedialog
+    except ImportError:
+        return None
+    try:
+        root = tk.Tk()
+    except tk.TclError:  # no $DISPLAY
+        return None
+    root.withdraw()
+    path = filedialog.askopenfilename(
+        title="Select RWKV-v4 .pth checkpoint",
+        filetypes=[("PyTorch checkpoint", "*.pth"), ("All files", "*")],
+    )
+    root.destroy()
+    return path or None
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Convert RWKV-v4 .pth to quantized .bin")
-    p.add_argument("pth", help="input .pth checkpoint")
+    p.add_argument("pth", nargs="?", default=None,
+                   help="input .pth checkpoint (omit to pick via GUI dialog)")
     p.add_argument("-o", "--out", default="model.bin", help="output .bin path")
     args = p.parse_args(argv)
+    if args.pth is None:
+        args.pth = _pick_file_gui()
+        if args.pth is None:
+            p.error("no input .pth given and no GUI available")
     convert(args.pth, args.out)
 
 

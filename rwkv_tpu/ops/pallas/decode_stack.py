@@ -54,6 +54,23 @@ def _dot(a, b_i8):
     )
 
 
+def _dot_s8(a_i8, b_i8):
+    """Native s8 x s8 -> s32 MXU matmul: no widening pass at all."""
+    return jax.lax.dot_general(
+        a_i8, b_i8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+
+def _quant_rows(x):
+    """Per-row dynamic symmetric int8 quantization: x ~= q * s."""
+    s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-30)
+    q = jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8)
+    return q, jnp.broadcast_to(s, (x.shape[0], 128))
+
+
 def _bsum(x):
     """Row-sum broadcast across a full 128-lane register: [Bp, n] -> [Bp, 128]."""
     s = jnp.sum(x, axis=-1, keepdims=True)
@@ -81,13 +98,16 @@ def _decode_stack_kernel(
     # scratch ---------------------------------------------------------------
     xcur, xs_k, xs_v, xs_r, xs_fk, xs_fr, gate, zacc,
     offs,                                   # [8, Bp, 128]
+    q_k, q_v, q_r, q_fk, q_fr,              # [Bp, E] int8 (a8 mode only)
+    scls,                                   # [8, Bp, 128] a8 row scales
     *,
-    n_att: int, n_ffn: int, tile: int, n_layer: int,
+    n_att: int, n_ffn: int, tile: int, n_layer: int, a8: bool,
 ):
     l = pl.program_id(0)
     s = pl.program_id(1)
 
     OFFK, OFFV, OFFR, OUTO, FFK, FFR, FFV = range(7)
+    SK, SV, SR, SFK, SFR = range(5)
 
     # ------------------------------------------------------------- att init
     @pl.when(s == 0)
@@ -103,9 +123,14 @@ def _decode_stack_kernel(
         iv = mv * xx + (1.0 - mv) * xy
         ir = mr * xx + (1.0 - mr) * xy
         xy_out[0] = xx
-        xs_k[:] = ik * kr[0]
-        xs_v[:] = iv * vr[0]
-        xs_r[:] = ir * rr[0]
+        if a8:
+            q_k[:], scls[SK] = _quant_rows(ik * kr[0])
+            q_v[:], scls[SV] = _quant_rows(iv * vr[0])
+            q_r[:], scls[SR] = _quant_rows(ir * rr[0])
+        else:
+            xs_k[:] = ik * kr[0]
+            xs_v[:] = iv * vr[0]
+            xs_r[:] = ir * rr[0]
         offs[OFFK] = _bsum(ik * ko[0])
         offs[OFFV] = _bsum(iv * vo[0])
         offs[OFFR] = _bsum(ir * ro[0])
@@ -114,9 +139,14 @@ def _decode_stack_kernel(
     # ------------------------------------------------------------- att tiles
     @pl.when(s < n_att)
     def _():
-        k_t = _dot(xs_k[:], km[0]) + offs[OFFK][:, :1]
-        v_t = _dot(xs_v[:], vm[0]) + offs[OFFV][:, :1]
-        r_t = _dot(xs_r[:], rm[0]) + offs[OFFR][:, :1]
+        if a8:
+            k_t = _dot_s8(q_k[:], km[0]) * scls[SK][:, :1] + offs[OFFK][:, :1]
+            v_t = _dot_s8(q_v[:], vm[0]) * scls[SV][:, :1] + offs[OFFV][:, :1]
+            r_t = _dot_s8(q_r[:], rm[0]) * scls[SR][:, :1] + offs[OFFR][:, :1]
+        else:
+            k_t = _dot(xs_k[:], km[0]) + offs[OFFK][:, :1]
+            v_t = _dot(xs_v[:], vm[0]) + offs[OFFV][:, :1]
+            r_t = _dot(xs_r[:], rm[0]) + offs[OFFR][:, :1]
 
         w_t = decay[0]
         u_t = bonus[0]
@@ -140,7 +170,11 @@ def _decode_stack_kernel(
 
         rwkv_t = (1.0 / (1.0 + jnp.exp(-r_t))) * ywkv
         # row-parallel partial of the output projection + rank-1 offset acc
-        xcur[:] += _dot(rwkv_t * wout_r[0], wout[0])
+        if a8:
+            qo, so = _quant_rows(rwkv_t * wout_r[0])
+            xcur[:] += _dot_s8(qo, wout[0]) * so[:, :1]
+        else:
+            xcur[:] += _dot(rwkv_t * wout_r[0], wout[0])
         offs[OUTO] += _bsum(rwkv_t * wout_o[0])
 
     # ------------------------------------------------------------- gate init
@@ -153,8 +187,12 @@ def _decode_stack_kernel(
         ik = fk * xx2 + (1.0 - fk) * dd
         ir = fr * xx2 + (1.0 - fr) * dd
         dd_out[0] = xx2
-        xs_fk[:] = ik * fkr[0]
-        xs_fr[:] = ir * gr[0]
+        if a8:
+            q_fk[:], scls[SFK] = _quant_rows(ik * fkr[0])
+            q_fr[:], scls[SFR] = _quant_rows(ir * gr[0])
+        else:
+            xs_fk[:] = ik * fkr[0]
+            xs_fr[:] = ir * gr[0]
         offs[FFK] = _bsum(ik * fko[0])
         offs[FFR] = _bsum(ir * go[0])
         offs[FFV] = jnp.zeros_like(offs[FFV])
@@ -164,16 +202,26 @@ def _decode_stack_kernel(
     @pl.when(jnp.logical_and(s >= n_att, s < 2 * n_att))
     def _():
         j = s - n_att
-        g_t = _dot(xs_fr[:], wg[0]) + offs[FFR][:, :1]
+        if a8:
+            g_t = _dot_s8(q_fr[:], wg[0]) * scls[SFR][:, :1] + offs[FFR][:, :1]
+        else:
+            g_t = _dot(xs_fr[:], wg[0]) + offs[FFR][:, :1]
         gate[:, pl.ds(j * tile, tile)] = 1.0 / (1.0 + jnp.exp(-g_t))
 
     # ------------------------------------------------------------- ffn tiles
     @pl.when(s >= 2 * n_att)
     def _():
-        h_t = _dot(xs_fk[:], ffnk[0]) + offs[FFK][:, :1]
+        if a8:
+            h_t = _dot_s8(q_fk[:], ffnk[0]) * scls[SFK][:, :1] + offs[FFK][:, :1]
+        else:
+            h_t = _dot(xs_fk[:], ffnk[0]) + offs[FFK][:, :1]
         h_t = jnp.maximum(h_t, 0.0)
         h_t = h_t * h_t
-        zacc[:] += _dot(h_t * fvr[0], ffnv[0])
+        if a8:
+            qh, sh = _quant_rows(h_t * fvr[0])
+            zacc[:] += _dot_s8(qh, ffnv[0]) * sh[:, :1]
+        else:
+            zacc[:] += _dot(h_t * fvr[0], ffnv[0])
         offs[FFV] += _bsum(h_t * fvo[0])
 
         @pl.when(s == 2 * n_att + n_ffn - 1)
@@ -201,7 +249,7 @@ def pick_tile(n_embd: int, preferred: int = 512,
     raise ValueError(f"n_embd {n_embd} not divisible by any 128-multiple tile")
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile", "interpret", "a8"))
 def decode_stack(
     x: jax.Array,            # [B, E] post-ln0 embedded token(s)
     params: RWKVParams,      # quantized, SIGNED int8 weights
@@ -209,8 +257,13 @@ def decode_stack(
     *,
     tile: int | None = None,
     interpret: bool = False,
+    a8: bool = False,
 ) -> Tuple[jax.Array, WKVState]:
-    """Run all L blocks on x. Returns (new x [B, E], new state)."""
+    """Run all L blocks on x. Returns (new x [B, E], new state).
+
+    a8=True runs every matvec as native s8 x s8 -> s32 on the MXU with
+    per-row dynamic activation quantization (no u8->float widening pass);
+    adds ~0.4% relative activation noise — validate ppl before serving."""
     att, ffn = params.att, params.ffn
     if att.key.w.dtype != jnp.int8:
         raise TypeError(
@@ -298,10 +351,12 @@ def decode_stack(
     )
     scratch = [pltpu.VMEM((Bp, E), f32) for _ in range(8)]
     scratch.append(pltpu.VMEM((8, Bp, 128), f32))
+    scratch += [pltpu.VMEM((Bp, E), jnp.int8) for _ in range(5)]
+    scratch.append(pltpu.VMEM((8, Bp, 128), f32))
 
     kernel = functools.partial(
         _decode_stack_kernel,
-        n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L,
+        n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L, a8=a8,
     )
     weight_bytes = L * (5 * E * E + 2 * E * F)
     y, xy, dd, aa, bb, pp = pl.pallas_call(
@@ -340,6 +395,7 @@ def decode_stack(
 def forward_step_fused(
     params: RWKVParams, token: jax.Array, state: WKVState, *,
     tile: int | None = None, interpret: bool = False, head_a8: bool = False,
+    a8: bool = False,
 ) -> Tuple[jax.Array, WKVState]:
     """Full decode step on the fused stack kernel: embed+ln0 and ln_out+head
     stay in XLA (3 cheap dispatches); the L-layer body is one kernel.
@@ -364,12 +420,13 @@ def forward_step_fused(
     x = params.emb[tok].astype(jnp.float32)  # [B, E]
     x = layer_norm(x, params.ln0.weight, params.ln0.bias)
 
-    y, new_state = decode_stack(x, params, st, tile=tile, interpret=interpret)
+    y, new_state = decode_stack(x, params, st, tile=tile, interpret=interpret,
+                                a8=a8)
 
     h = layer_norm(y, params.ln_out.weight, params.ln_out.bias)
     if isinstance(params.head, QuantLinear):
         xs = h * params.head.scale
-        mm = mm8_a8 if head_a8 else mm8
+        mm = mm8_a8 if (head_a8 or a8) else mm8
         logits = (mm(xs, params.head.w, interpret=interpret)
                   + (h @ params.head.offset)[:, None])
     else:

@@ -114,7 +114,8 @@ class RWKV:
         self._jit_sample = jax.jit(self._sample)
 
     def load_params(
-        self, params: RWKVParams, use_fused: Optional[bool] = None
+        self, params: RWKVParams, use_fused: Optional[bool] = None,
+        a8: bool = False,
     ) -> None:
         """Use an already-built params pytree (tests, converters, sharded).
 
@@ -122,6 +123,10 @@ class RWKV:
         decode-stack kernel (ops/pallas/decode_stack.py). Default: auto —
         on when running on a real TPU backend, unsharded, with quantized
         weights and tile-divisible dims (~2x decode throughput).
+
+        a8: with the fused kernel, run matvecs as native s8 x s8 MXU ops
+        (W8A8) — faster on widening-bound shapes, adds ~0.4% activation-
+        quant noise; validate with eval/ppl.py before serving.
         """
         from rwkv_tpu.ops.quant import QuantLinear
 
@@ -139,7 +144,10 @@ class RWKV:
             from rwkv_tpu.ops.pallas.decode_stack import forward_step_fused
 
             params = signedize_params(params)
-            self._step_fn = forward_step_fused
+            self._step_fn = (
+                partial(forward_step_fused, a8=True) if a8
+                else forward_step_fused
+            )
         else:
             self._step_fn = forward_step
         self._make_jits()
