@@ -12,6 +12,15 @@ Stdlib-only (the reference ethos is dependency-free). Endpoints:
 
 Each /complete runs on a fresh state (stateless API, like the reference
 flask server which rebuilds context per request).
+
+Two execution modes:
+  default       one engine, requests serialized under a lock
+  --pool N      continuous batching: a background thread advances an
+                N-slot InferencePool one fused device step at a time;
+                concurrent /complete requests share each step (aggregate
+                throughput scales ~linearly with occupancy at decode
+                batch sizes — see BENCH_NOTES.md). The reference has no
+                equivalent: its PARRALEL mode has no request lifecycle.
 """
 
 from __future__ import annotations
@@ -25,7 +34,48 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from rwkv_tpu.apps._common import add_model_args, build_engine
 
 
-def make_handler(eng, lock):
+class PoolRunner:
+    """Background continuous-batching executor for the HTTP server.
+
+    submit() enqueues a request and blocks the calling HTTP thread until
+    the pool finishes it; a single daemon thread drives pool.step() so all
+    concurrent requests advance in one batched device program per token.
+    """
+
+    def __init__(self, pool):
+        self.pool = pool
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._done: dict[int, str] = {}
+        self._events: dict[int, threading.Event] = {}
+        t = threading.Thread(target=self._loop, daemon=True)
+        t.start()
+
+    def _loop(self):
+        while True:
+            with self._lock:
+                busy = self.pool.pending > 0
+                finished = self.pool.step() if busy else []
+            for req in finished:
+                self._done[req.rid] = req.text
+                ev = self._events.pop(req.rid, None)
+                if ev:
+                    ev.set()
+            if not busy:
+                self._wake.wait()
+                self._wake.clear()
+
+    def submit(self, prompt, **kw) -> str:
+        ev = threading.Event()
+        with self._lock:
+            rid = self.pool.submit(prompt, **kw)
+            self._events[rid] = ev
+        self._wake.set()
+        ev.wait()
+        return self._done.pop(rid)
+
+
+def make_handler(eng, lock, runner=None):
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code, obj):
             body = json.dumps(obj).encode()
@@ -71,9 +121,8 @@ def make_handler(eng, lock):
                 if not isinstance(prompt, str) or not prompt:
                     return self._json(400, {"error": "missing 'prompt'"})
                 max_tokens = min(int(req.get("max_tokens", 128)), 2048)
-                with lock:  # single model; serialize requests
-                    eng.reset_state(0)
-                    out = eng.generate(
+                if runner is not None:  # continuous batching
+                    out = runner.submit(
                         prompt,
                         max_tokens=max_tokens,
                         temp=float(req.get("temp", 0.9)),
@@ -81,6 +130,17 @@ def make_handler(eng, lock):
                         seed=int(req.get("seed", 0)),
                         stop=req.get("stop"),
                     )
+                else:
+                    with lock:  # single model; serialize requests
+                        eng.reset_state(0)
+                        out = eng.generate(
+                            prompt,
+                            max_tokens=max_tokens,
+                            temp=float(req.get("temp", 0.9)),
+                            tau=float(req.get("tau", 0.8)),
+                            seed=int(req.get("seed", 0)),
+                            stop=req.get("stop"),
+                        )
                 return self._json(200, {"completion": out,
                                         "tokens": len(eng.tokenizer.encode(out))})
 
@@ -94,11 +154,22 @@ def main(argv=None):
     add_model_args(p)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--pool", type=int, default=0, metavar="N",
+                   help="continuous batching with N slots (0 = serialized)")
     args = p.parse_args(argv)
 
     eng = build_engine(args)
+    runner = None
+    if args.pool > 0:
+        from rwkv_tpu.runtime.pool import InferencePool
+
+        pool = InferencePool(eng.params, eng.tokenizer,
+                             max_streams=args.pool, step_fn=eng._step_fn)
+        runner = PoolRunner(pool)
+        print(f"continuous batching: {args.pool} slots", file=sys.stderr)
     lock = threading.Lock()
-    srv = ThreadingHTTPServer((args.host, args.port), make_handler(eng, lock))
+    srv = ThreadingHTTPServer((args.host, args.port),
+                              make_handler(eng, lock, runner))
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     try:
         srv.serve_forever()

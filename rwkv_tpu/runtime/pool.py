@@ -57,12 +57,18 @@ class InferencePool:
         tokenizer: BPETokenizer,
         max_streams: int = 8,
         prefill_bucket: int = 128,
+        step_fn: Optional[Callable] = None,
     ):
+        """step_fn: the per-token forward (params, tokens, state) ->
+        (logits, state); defaults to the XLA forward_step. Pass
+        ops.pallas.decode_stack.forward_step_fused (with signedized params)
+        to run the batch on the fused kernel on a real TPU."""
         self.params = params
         self.cfg = params.config
         self.tok = tokenizer
         self.B = max_streams
         self.prefill_bucket = prefill_bucket
+        self._step_impl = step_fn or forward_step
 
         self._state = init_state(self.cfg, (self.B,))
         self._tokens = np.zeros((self.B,), np.int32)
@@ -83,15 +89,14 @@ class InferencePool:
 
     # -- device programs ------------------------------------------------------
 
-    @staticmethod
-    def _batched_step(params, tokens, state, keys, temp, tau, active):
+    def _batched_step(self, params, tokens, state, keys, temp, tau, active):
         """Advance all B slots one token; sample per-slot params.
 
         Inactive slots still compute (lockstep batch — that's the point of
         continuous batching: the marginal cost of a dead slot is zero at
         memory-bound batch sizes) but their state update is masked out.
         """
-        logits, new_state = forward_step(params, tokens, state)  # [B, V]
+        logits, new_state = self._step_impl(params, tokens, state)  # [B, V]
         logits = logits.at[:, 0].set(-1e9)  # ban <|endoftext|> id 0
 
         def sample_one(key, lg, t, ta):
@@ -194,6 +199,11 @@ class InferencePool:
                 req.on_text(piece)
 
     def _finish(self, req: Request) -> Request:
+        tail = req.decoder.flush() if req.decoder else ""
+        if tail:
+            req.pieces.append(tail)
+            if req.on_text:
+                req.on_text(tail)
         text = "".join(req.pieces)
         if req.stop:
             hits = [text.find(s) for s in req.stop if s in text]

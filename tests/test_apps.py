@@ -91,3 +91,49 @@ def test_server_bad_requests(server):
     assert _post(server, "/nope", {})[0] == 404
     code, _ = _post(server, "/tokenize", {"nope": 1})
     assert code == 400
+
+
+@pytest.fixture(scope="module")
+def pooled_server():
+    from http.server import ThreadingHTTPServer
+
+    from rwkv_tpu.apps._common import build_engine
+    from rwkv_tpu.apps.server import PoolRunner, make_handler
+    from rwkv_tpu.runtime.pool import InferencePool
+
+    class A:
+        mock, model, vocab, streams = True, None, VOCAB_DIR, 1
+        temp, tau, seed = 0.9, 0.8, 0
+
+    eng = build_engine(A)
+    pool = InferencePool(eng.params, eng.tokenizer, max_streams=2,
+                         prefill_bucket=16, step_fn=eng._step_fn)
+    runner = PoolRunner(pool)
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(eng, threading.Lock(), runner)
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_pooled_server_concurrent_completions(pooled_server):
+    """4 concurrent requests through 2 pool slots all complete."""
+    results = {}
+
+    def hit(i):
+        code, body = _post(pooled_server, "/complete",
+                           {"prompt": f"Request {i}", "max_tokens": 4,
+                            "seed": i})
+        results[i] = (code, body)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(results) == 4
+    for code, body in results.values():
+        assert code == 200
+        assert "completion" in body

@@ -67,3 +67,22 @@ def test_max_tokens_respected(pool_setup):
     pool.run()
     # produced counts tokens, pieces may merge; just ensure it terminated
     assert pool.pending == 0
+
+
+def test_finish_flushes_partial_utf8(pool_setup):
+    """A request ending mid-codepoint must still surface the bytes
+    (errors=replace) instead of silently dropping them."""
+    from rwkv_tpu.runtime.pool import InferencePool, Request
+    from rwkv_tpu.tokenizer.bpe import StreamDecoder
+
+    params, tok = pool_setup
+    pool = InferencePool(params, tok, max_streams=1, prefill_bucket=16)
+    req = Request(rid=0, prompt_ids=[1], max_tokens=1, temp=1.0, tau=0.8,
+                  seed=0, stop=None, on_text=None)
+    req.slot = 0
+    req.decoder = StreamDecoder(tok)
+    req.decoder.pending = b"\xe2\x82"  # truncated euro sign
+    pool._by_slot[0] = req
+    pool._active[0] = True
+    done = pool._finish(req)
+    assert done.text != ""  # replacement char, not dropped
