@@ -51,17 +51,24 @@ def weight_bytes_per_token(params) -> int:
 
 
 def bench_prefill(cfg, params, name, T=512, reps=4):
-    """Prompt-ingest throughput: parallel-WKV chunked prefill, XLA path."""
+    """Prompt-ingest throughput: parallel-WKV chunked prefill, XLA path.
+
+    RWKV_TPU_BENCH_PREC=bf16 runs the matmuls in bf16 (f32 accumulate):
+    prefill is MXU-compute-bound, so bf16's 4x rate advantage shows here
+    (decode does not care — it is HBM-bound)."""
     import numpy as np
 
     from rwkv_tpu.models.rwkv4 import forward_seq, init_state
 
+    prec = os.environ.get("RWKV_TPU_BENCH_PREC", "f32")
+    cdt = jnp.bfloat16 if prec == "bf16" else jnp.float32
     state = init_state(cfg)
     toks = jnp.asarray(np.arange(T) % 50000, jnp.int32)
 
     def ingest(params, toks, state, n_chunks):
         def body(st, _):
-            logits, st = forward_seq(params, toks, st, parallel=True)
+            logits, st = forward_seq(params, toks, st, parallel=True,
+                                     compute_dtype=cdt)
             return st, logits[..., 0]
         st, lg = jax.lax.scan(body, state, None, length=n_chunks)
         return st, lg
@@ -83,7 +90,8 @@ def bench_prefill(cfg, params, name, T=512, reps=4):
     per_chunk = max(b2 - b1, 1e-9) / 4
     tok_s = T / per_chunk
     print(json.dumps({
-        "metric": f"prefill_tokens_per_sec_rwkv4_{name}_q8",
+        "metric": f"prefill_tokens_per_sec_rwkv4_{name}_q8"
+                  + ("_bf16" if prec == "bf16" else ""),
         "value": round(tok_s, 1),
         "unit": "tokens/s",
         "vs_baseline": 1.0,
@@ -108,7 +116,7 @@ def main():
     if bin_path:
         from rwkv_tpu.io.binfmt import read_bin
 
-        params = read_bin(bin_path, pad_vocab_to=128)
+        params = read_bin(bin_path, pad_vocab_to=512)
         cfg = params.config
     else:
         cfg = getattr(RWKVConfig, f"rwkv4_{name}")()

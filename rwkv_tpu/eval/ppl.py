@@ -21,14 +21,17 @@ import numpy as np
 from rwkv_tpu.models.rwkv4 import RWKVParams, forward_seq, init_state
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def _chunk_nll(params: RWKVParams, tokens: jax.Array, targets: jax.Array,
-               length: jax.Array, state):
+               length: jax.Array, state, compute_dtype=jnp.float32):
     """Sum of -log p(target) over one chunk. tokens/targets: [T] (padded);
     positions >= length are no-ops for both the NLL sum and the state."""
     logits, state = forward_seq(
         params, tokens, state, parallel=True, return_all_logits=True,
-        length=length,
+        length=length, compute_dtype=compute_dtype,
     )
     mask = (jnp.arange(tokens.shape[0]) < length).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -41,10 +44,12 @@ def evaluate_nll(
     token_ids: np.ndarray,
     *,
     chunk: int = 256,
+    compute_dtype=jnp.float32,
 ) -> dict:
     """Mean NLL / perplexity of `token_ids` under the model.
 
     Predicts token_ids[t+1] from token_ids[:t+1] (standard LM eval).
+    compute_dtype=jnp.bfloat16 evaluates the fast-prefill numerics.
     """
     ids = np.asarray(token_ids, np.int32)
     if ids.size < 2:
@@ -66,6 +71,7 @@ def evaluate_nll(
         nll, cnt, state = _chunk_nll(
             params, jnp.asarray(part_in), jnp.asarray(part_tg),
             jnp.asarray(valid, jnp.int32), state,
+            compute_dtype=compute_dtype,
         )
         total_nll += float(nll)
         total_cnt += float(cnt)

@@ -23,6 +23,7 @@ forward (rwkv.cu:493-593); see ops/wkv.py for the recurrence form.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -42,9 +43,12 @@ from rwkv_tpu.ops.wkv import (
 Linear = QuantLinear | jax.Array  # dense weights are plain [in, out] arrays
 
 
-def _matmul(x: jax.Array, w: Linear) -> jax.Array:
+def _matmul(x: jax.Array, w: Linear, compute_dtype=jnp.float32) -> jax.Array:
     if isinstance(w, QuantLinear):
-        return qmatmul(x, w)
+        return qmatmul(x, w, compute_dtype=compute_dtype)
+    if compute_dtype != x.dtype:
+        return jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
+                          preferred_element_type=jnp.float32)
     return x @ w
 
 
@@ -162,31 +166,34 @@ def _last_valid(xx: jax.Array, length) -> jax.Array:
 
 def _att_seq(
     x: jax.Array, layer: AttParams, ln: LNParams, xy: jax.Array, chan: WKVChannelState,
-    *, parallel: bool, mask=None, length=None,
+    *, parallel: bool, mask=None, length=None, compute_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array, WKVChannelState]:
     """Time-mix over a sequence. x: [T, ..., E]; xy: [..., E] prior token."""
     xx = layer_norm(x, ln.weight, ln.bias)
     prev = jnp.concatenate([xy[None], xx[:-1]], axis=0)  # token-shift
-    k = _matmul(layer.mix_k * xx + (1 - layer.mix_k) * prev, layer.key)
-    v = _matmul(layer.mix_v * xx + (1 - layer.mix_v) * prev, layer.value)
-    r = _matmul(layer.mix_r * xx + (1 - layer.mix_r) * prev, layer.receptance)
+    mm = functools.partial(_matmul, compute_dtype=compute_dtype)
+    k = mm(layer.mix_k * xx + (1 - layer.mix_k) * prev, layer.key)
+    v = mm(layer.mix_v * xx + (1 - layer.mix_v) * prev, layer.value)
+    r = mm(layer.mix_r * xx + (1 - layer.mix_r) * prev, layer.receptance)
     wkv_fn = wkv_parallel if parallel else wkv_scan
     y, chan = wkv_fn(k, v, chan, layer.decay, layer.bonus, mask)
     rwkv = jax.nn.sigmoid(r) * y
-    return x + _matmul(rwkv, layer.output), _last_valid(xx, length), chan
+    return x + mm(rwkv, layer.output), _last_valid(xx, length), chan
 
 
 def _ffn_seq(
-    x: jax.Array, layer: FFNParams, ln: LNParams, dd: jax.Array, *, length=None
+    x: jax.Array, layer: FFNParams, ln: LNParams, dd: jax.Array, *,
+    length=None, compute_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
     """Channel-mix over a sequence. x: [T, ..., E]; dd: [..., E]."""
     xx = layer_norm(x, ln.weight, ln.bias)
     prev = jnp.concatenate([dd[None], xx[:-1]], axis=0)
     k_in = layer.mix_k * xx + (1 - layer.mix_k) * prev
     r_in = layer.mix_r * xx + (1 - layer.mix_r) * prev
-    gate = jax.nn.sigmoid(_matmul(r_in, layer.receptance))
-    kk = jnp.square(jax.nn.relu(_matmul(k_in, layer.key)))
-    return x + gate * _matmul(kk, layer.value), _last_valid(xx, length)
+    mm = functools.partial(_matmul, compute_dtype=compute_dtype)
+    gate = jax.nn.sigmoid(mm(r_in, layer.receptance))
+    kk = jnp.square(jax.nn.relu(mm(k_in, layer.key)))
+    return x + gate * mm(kk, layer.value), _last_valid(xx, length)
 
 
 def _att_step(
@@ -229,6 +236,7 @@ def forward_seq(
     parallel: bool = False,
     return_all_logits: bool = False,
     length: jax.Array | None = None,
+    compute_dtype=jnp.float32,
 ) -> Tuple[jax.Array, WKVState]:
     """Run a token sequence through the model (the reference's GPT mode).
 
@@ -236,6 +244,10 @@ def forward_seq(
     length: optional scalar — the number of *valid* leading tokens; positions
     >= length are padding whose state updates are no-ops. Lets callers pad
     prompts into fixed jit buckets instead of recompiling per length.
+    compute_dtype: matmul input dtype. f32 default; bf16 runs the MXU at
+    4x the f32 rate (prefill is compute-bound, unlike decode) with f32
+    accumulation — added rounding is the same order as the u8 weight
+    quantization noise (measure with eval/ppl.py).
     Returns (logits, new_state); logits [V] for the last valid position, or
     [T, ..., V] when return_all_logits (needed for perplexity eval).
     """
@@ -252,8 +264,10 @@ def forward_seq(
         x, xy, chan = _att_seq(
             x, att, ln1, xy, WKVChannelState(aa, bb, pp),
             parallel=parallel, mask=mask, length=length,
+            compute_dtype=compute_dtype,
         )
-        x, dd = _ffn_seq(x, ffn, ln2, dd, length=length)
+        x, dd = _ffn_seq(x, ffn, ln2, dd, length=length,
+                         compute_dtype=compute_dtype)
         return (x,), WKVState(xy, chan.aa, chan.bb, chan.pp, dd)
 
     (x,), new_state = jax.lax.scan(
@@ -263,9 +277,10 @@ def forward_seq(
 
     x = layer_norm(x, params.ln_out.weight, params.ln_out.bias)
     if return_all_logits:
-        logits = _matmul(x, params.head)
+        logits = _matmul(x, params.head, compute_dtype=compute_dtype)
     else:
-        logits = _matmul(_last_valid(x, length), params.head)
+        logits = _matmul(_last_valid(x, length), params.head,
+                         compute_dtype=compute_dtype)
     if params.logit_bias is not None:
         logits = logits + params.logit_bias
     return logits, new_state
@@ -347,7 +362,7 @@ def init_params(
 
 
 def random_quantized_params_np(
-    cfg: RWKVConfig, seed: int = 0, pad_multiple: int | None = 128
+    cfg: RWKVConfig, seed: int = 0, pad_multiple: int | None = 512
 ) -> RWKVParams:
     """Random u8-quantized params built entirely host-side in numpy — one
     device_put per leaf at the end. Use for benches on remote/tunneled
@@ -438,7 +453,7 @@ def signedize_params(params: RWKVParams) -> RWKVParams:
 
 
 def random_quantized_params_device(
-    cfg: RWKVConfig, seed: int = 0, pad_multiple: int | None = 128,
+    cfg: RWKVConfig, seed: int = 0, pad_multiple: int | None = 512,
     signed: bool = True,
 ) -> RWKVParams:
     """Random quantized params generated ON-DEVICE (jit'd PRNG per leaf) —

@@ -1,24 +1,35 @@
-"""The fused decode-stack kernel: all L layers of an RWKV-v4 decode step in
-ONE Pallas kernel launch.
+"""The fused decode-stack kernel: all L layers of an RWKV-v4 decode step —
+and, when shapes allow, the ln_out + quantized logits head too — in ONE
+Pallas kernel launch.
 
 Why: at decode batch sizes RWKV is pure HBM streaming (~12·E² quantized
-weight bytes per layer per token). The XLA path spends ~15 kernel dispatches
-per layer on matvecs + elementwise glue (~1.5 us floor each), capping
-throughput well below the HBM roofline. Here the whole residual stack is a
-single kernel with grid (L, S): weights stream tile-by-tile HBM->VMEM
+weight bytes per layer per token, plus the V×E head). The XLA path spends
+~15 kernel dispatches per layer on matvecs + elementwise glue (~1.5 us floor
+each), capping throughput well below the HBM roofline. Here the whole
+residual stack is a single kernel: weights stream tile-by-tile HBM->VMEM
 (auto double-buffered by Pallas), the activation vector and all elementwise
 math (layernorm, token-shift mix, WKV recurrence, gating) stay in VMEM, and
-every weight byte is read exactly once per token.
+every weight byte is read exactly once per token. Fusing the head removes
+the last serial dispatch: its tiles stream inline right after the final
+ffn tile, at kernel bandwidth.
 
 This is the TPU-native answer to the reference's per-op kernel chain
 (cuda_rwkv_parralel, include/rwkv/cuda/rwkv.cu:493-593): same op sequence,
 but MXU matmuls + VMEM residency + sequential-grid accumulation instead of
 ~185 kernel launches with atomicAdd reductions.
 
-Phases per layer (grid dim s; TPU grids execute sequentially on a core):
-  s in [0, nE)        att: k/v/r tile matvecs + WKV tile + partial out-proj
-  s in [nE, 2nE)      ffn gate: sigmoid(receptance) tiles
-  s in [2nE, 2nE+nF)  ffn: key tile -> relu^2 -> partial value accumulation
+The grid is a FLAT 1-D sequence of steps (TPU grids execute sequentially on
+a core). With S = 2·nE + nF steps per layer and H head tiles:
+
+  t in [l·S,      l·S+nE)    layer l att: k/v/r tile matvecs + WKV tile +
+                             partial out-projection
+  t in [l·S+nE,   l·S+2nE)   layer l ffn gate: sigmoid(receptance) tiles
+  t in [l·S+2nE,  (l+1)·S)   layer l ffn: key tile -> relu^2 -> partial
+                             value accumulation
+  t in [L·S,      L·S+H)     ln_out + head tile matvecs -> logits
+                             (flattening is what makes this affordable: a
+                             2-D (L, S+H) grid would spend (L-1)·H no-op
+                             steps re-fetching clamped head blocks)
 
 Weights are SIGNED int8 (ops.quant.to_signed; Mosaic has no u8->float cast).
 Per-input-channel affine dequant is algebraically split as in ops/quant.py:
@@ -78,36 +89,52 @@ def _bsum(x):
 
 
 def _decode_stack_kernel(
-    # inputs (refs) -------------------------------------------------------
-    x_in,                                   # [Bp, E] post-ln0 embedding
-    ln1_w, ln1_b, ln2_w, ln2_b,             # [1, E]
-    mix_k, mix_v, mix_r, fmix_k, fmix_r,    # [1, E]
-    decay, bonus,                           # [1, T] att-tile blocks
-    xy_in, aa_in, bb_in, pp_in, dd_in,      # [1,Bp,E] / [1,Bp,T] channel tiles
-    km, vm, rm,                             # [1, E, T] i8
-    kr, vr, rr, ko, vo, ro,                 # [1, E]
-    wout,                                   # [1, T, E] i8
-    wout_r, wout_o,                         # [1, T]
-    wg, gr, go,                             # [1,E,T] i8 / [1,E] / [1,E]
-    ffnk, fkr, fko,                         # [1,E,T] i8 / [1,E] / [1,E]
-    ffnv, fvr, fvo,                         # [1,T,E] i8 / [1,T] / [1,T]
-    # outputs --------------------------------------------------------------
-    y_out,                                  # [Bp, E]
-    xy_out, dd_out,                         # [1, Bp, E]
-    aa_out, bb_out, pp_out,                 # [1, Bp, T]
-    # scratch ---------------------------------------------------------------
-    xcur, xs_k, xs_v, xs_r, xs_fk, xs_fr, gate, zacc,
-    offs,                                   # [8, Bp, 128]
-    q_k, q_v, q_r, q_fk, q_fr,              # [Bp, E] int8 (a8 mode only)
-    scls,                                   # [8, Bp, 128] a8 row scales
-    *,
-    n_att: int, n_ffn: int, tile: int, n_layer: int, a8: bool,
+    *refs,
+    n_att: int, n_ffn: int, tile: int, n_layer: int, n_head: int,
+    a8: bool, with_head: bool,
 ):
-    l = pl.program_id(0)
-    s = pl.program_id(1)
+    # ----- unpack (positional refs: inputs, then outputs, then scratch) ----
+    (
+        x_in,                                   # [Bp, E] post-ln0 embedding
+        ln1_w, ln1_b, ln2_w, ln2_b,             # [1, E]
+        mix_k, mix_v, mix_r, fmix_k, fmix_r,    # [1, E]
+        decay, bonus,                           # [1, T] att-tile blocks
+        xy_in, aa_in, bb_in, pp_in, dd_in,      # [1,Bp,E] / [1,Bp,T] tiles
+        km, vm, rm,                             # [1, E, T] i8
+        kr, vr, rr, ko, vo, ro,                 # [1, E]
+        wout,                                   # [1, T, E] i8
+        wout_r, wout_o,                         # [1, T]
+        wg, gr, go,                             # [1,E,T] i8 / [1,E] / [1,E]
+        ffnk, fkr, fko,                         # [1,E,T] i8 / [1,E] / [1,E]
+        ffnv, fvr, fvo,                         # [1,T,E] i8 / [1,T] / [1,T]
+    ) = refs[:38]
+    i = 38
+    if with_head:
+        lnout_w, lnout_b, hw, hr, ho = refs[i:i + 5]   # [1,E]x2, [E,T] i8,
+        i += 5                                          # [1,E], [1,E]
+    (
+        y_out,                                  # [Bp, E]
+        xy_out, dd_out,                         # [1, Bp, E]
+        aa_out, bb_out, pp_out,                 # [1, Bp, T]
+    ) = refs[i:i + 6]
+    i += 6
+    if with_head:
+        logits_out = refs[i]                    # [Bp, T] tile of [Bp, Vp]
+        i += 1
+    (
+        xcur, xs_k, xs_v, xs_r, xs_fk, xs_fr, gate, zacc, xs_h,
+        offs,                                   # [8, Bp, 128]
+        q_k, q_v, q_r, q_fk, q_fr, q_h,         # [Bp, E] int8 (a8 mode)
+        scls,                                   # [8, Bp, 128] a8 row scales
+    ) = refs[i:]
 
-    OFFK, OFFV, OFFR, OUTO, FFK, FFR, FFV = range(7)
-    SK, SV, SR, SFK, SFR = range(5)
+    S = 2 * n_att + n_ffn
+    t = pl.program_id(0)
+    l = jnp.minimum(t // S, n_layer - 1)
+    s = t - l * S                       # head phase (l = L-1) => s in [S, S+H)
+
+    OFFK, OFFV, OFFR, OUTO, FFK, FFR, FFV, HOF = range(8)
+    SK, SV, SR, SFK, SFR, SH = range(6)
 
     # ------------------------------------------------------------- att init
     @pl.when(s == 0)
@@ -209,7 +236,7 @@ def _decode_stack_kernel(
         gate[:, pl.ds(j * tile, tile)] = 1.0 / (1.0 + jnp.exp(-g_t))
 
     # ------------------------------------------------------------- ffn tiles
-    @pl.when(s >= 2 * n_att)
+    @pl.when(jnp.logical_and(s >= 2 * n_att, s < S))
     def _():
         if a8:
             h_t = _dot_s8(q_fk[:], ffnk[0]) * scls[SFK][:, :1] + offs[FFK][:, :1]
@@ -224,7 +251,7 @@ def _decode_stack_kernel(
             zacc[:] += _dot(h_t * fvr[0], ffnv[0])
         offs[FFV] += _bsum(h_t * fvo[0])
 
-        @pl.when(s == 2 * n_att + n_ffn - 1)
+        @pl.when(s == S - 1)
         def _():
             xcur[:] += gate[:] * (zacc[:] + offs[FFV][:, :1])
 
@@ -232,24 +259,46 @@ def _decode_stack_kernel(
             def _():
                 y_out[:] = xcur[:]
 
+    # --------------------------------------------------- ln_out + head tiles
+    if with_head:
+        @pl.when(s == S)  # only reachable on the last layer
+        def _():
+            h = _ln(xcur[:], lnout_w[0], lnout_b[0])
+            if a8:
+                q_h[:], scls[SH] = _quant_rows(h * hr[0])
+            else:
+                xs_h[:] = h * hr[0]
+            offs[HOF] = _bsum(h * ho[0])
+
+        @pl.when(s >= S)
+        def _():
+            if a8:
+                logits_out[:] = (
+                    _dot_s8(q_h[:], hw[:]) * scls[SH][:, :1] + offs[HOF][:, :1]
+                )
+            else:
+                logits_out[:] = _dot(xs_h[:], hw[:]) + offs[HOF][:, :1]
+
 
 def pick_tile(n_embd: int, preferred: int = 512,
               vmem_budget: int = 15 * 1024 * 1024) -> int:
     """Largest lane-aligned tile dividing E that keeps the double-buffered
-    weight blocks (7 tiles of E x tile int8 per grid step) inside VMEM.
+    weight blocks (8 tiles of E x tile int8 per grid step: 7 layer matrices
+    + the head) inside VMEM.
 
-    E<=2048 -> 512, E=4096 -> 256, E=5120 -> 128 on a 16MB-VMEM core
-    (15MB budget: an E=2048,tile=512 config measured fine at 14.7MB).
+    E<=1024 -> 512, E=2048 -> 384(448 cap), E=4096 -> 256, E=5120 -> 128 on
+    a 16MB-VMEM core.
     """
     for t in (preferred, 512, 384, 256, 128):
-        if t <= preferred and n_embd % t == 0 and 14 * n_embd * t <= vmem_budget:
+        if t <= preferred and n_embd % t == 0 and 16 * n_embd * t <= vmem_budget:
             return t
     if n_embd % 128 == 0:
         return 128
     raise ValueError(f"n_embd {n_embd} not divisible by any 128-multiple tile")
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret", "a8"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "interpret", "a8", "with_head"))
 def decode_stack(
     x: jax.Array,            # [B, E] post-ln0 embedded token(s)
     params: RWKVParams,      # quantized, SIGNED int8 weights
@@ -258,12 +307,18 @@ def decode_stack(
     tile: int | None = None,
     interpret: bool = False,
     a8: bool = False,
-) -> Tuple[jax.Array, WKVState]:
-    """Run all L blocks on x. Returns (new x [B, E], new state).
+    with_head: bool = False,
+):
+    """Run all L blocks on x. Returns (new x [B, E], new state) — plus raw
+    logits [B, Vp] as a third element when with_head=True (requires a
+    quantized head with padded vocab divisible by the tile; the caller
+    still applies logit_bias).
 
     a8=True runs every matvec as native s8 x s8 -> s32 on the MXU with
     per-row dynamic activation quantization (no u8->float widening pass);
     adds ~0.4% relative activation noise — validate ppl before serving."""
+    from rwkv_tpu.ops.quant import QuantLinear
+
     att, ffn = params.att, params.ffn
     if att.key.w.dtype != jnp.int8:
         raise TypeError(
@@ -279,6 +334,20 @@ def decode_stack(
     n_att, n_ffn = E // tile, F // tile
     S = 2 * n_att + n_ffn
 
+    n_head = 0
+    if with_head:
+        if not isinstance(params.head, QuantLinear):
+            raise TypeError("with_head requires a quantized head")
+        if params.head.w.dtype != jnp.int8:
+            raise TypeError("with_head requires a signed int8 head")
+        Vp = params.head.w.shape[-1]
+        if Vp % tile:
+            raise ValueError(
+                f"with_head requires padded vocab {Vp} divisible by tile "
+                f"{tile}; use models.rwkv4.pad_vocab(multiple={tile})"
+            )
+        n_head = Vp // tile
+
     Bp = max(8, -(-B // 8) * 8)
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
@@ -291,9 +360,16 @@ def decode_stack(
     def clamp(v, lo, hi):
         return jnp.minimum(jnp.maximum(v, lo), hi)
 
-    j_att = lambda s: clamp(s, 0, n_att - 1)                    # noqa: E731
-    j_gate = lambda s: clamp(s - n_att, 0, n_att - 1)           # noqa: E731
-    j_ffn = lambda s: clamp(s - 2 * n_att, 0, n_ffn - 1)        # noqa: E731
+    def _l(t):
+        return jnp.minimum(t // S, L - 1)
+
+    def _s(t):
+        return t - _l(t) * S
+
+    j_att = lambda t: clamp(_s(t), 0, n_att - 1)                # noqa: E731
+    j_gate = lambda t: clamp(_s(t) - n_att, 0, n_att - 1)       # noqa: E731
+    j_ffn = lambda t: clamp(_s(t) - 2 * n_att, 0, n_ffn - 1)    # noqa: E731
+    j_head = lambda t: clamp(_s(t) - S, 0, max(n_head - 1, 0))  # noqa: E731
 
     # Per-layer vectors are lifted to [L, 1, X] so the trailing two block
     # dims satisfy Mosaic's (8,128)-or-equal rule ((1,1,X): 1==1, X ok).
@@ -301,28 +377,28 @@ def decode_stack(
         return a.reshape(a.shape[0], 1, a.shape[1])
 
     def row(width):
-        return pl.BlockSpec((1, 1, width), lambda l, s: (l, 0, 0),
+        return pl.BlockSpec((1, 1, width), lambda t: (_l(t), 0, 0),
                             memory_space=pltpu.VMEM)
 
-    att_vec = pl.BlockSpec((1, 1, tile), lambda l, s: (l, 0, j_att(s)),
+    att_vec = pl.BlockSpec((1, 1, tile), lambda t: (_l(t), 0, j_att(t)),
                            memory_space=pltpu.VMEM)
-    ffn_vec = pl.BlockSpec((1, 1, tile), lambda l, s: (l, 0, j_ffn(s)),
+    ffn_vec = pl.BlockSpec((1, 1, tile), lambda t: (_l(t), 0, j_ffn(t)),
                            memory_space=pltpu.VMEM)
-    full_state = pl.BlockSpec((1, Bp, E), lambda l, s: (l, 0, 0),
+    full_state = pl.BlockSpec((1, Bp, E), lambda t: (_l(t), 0, 0),
                               memory_space=pltpu.VMEM)
-    chan_state = pl.BlockSpec((1, Bp, tile), lambda l, s: (l, 0, j_att(s)),
+    chan_state = pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
                               memory_space=pltpu.VMEM)
 
     def colT(jm):
-        return pl.BlockSpec((1, E, tile), lambda l, s: (l, 0, jm(s)),
+        return pl.BlockSpec((1, E, tile), lambda t: (_l(t), 0, jm(t)),
                             memory_space=pltpu.VMEM)
 
     def rowT(jm):
-        return pl.BlockSpec((1, tile, E), lambda l, s: (l, jm(s), 0),
+        return pl.BlockSpec((1, tile, E), lambda t: (_l(t), jm(t), 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((Bp, E), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bp, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
         row(E), row(E), row(E), row(E),                   # ln1/ln2 w,b
         row(E), row(E), row(E), row(E), row(E),           # mixes
         att_vec, att_vec,                                  # decay, bonus
@@ -334,45 +410,25 @@ def decode_stack(
         colT(j_ffn), row(E), row(E),                      # ffnk, fkr, fko
         rowT(j_ffn), ffn_vec, ffn_vec,                    # ffnv, fvr, fvo
     ]
-    out_specs = (
-        pl.BlockSpec((Bp, E), lambda l, s: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, E), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, E), lambda l, s: (l, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, tile), lambda l, s: (l, 0, j_att(s)),
+    out_specs = [
+        pl.BlockSpec((Bp, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bp, E), lambda t: (_l(t), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, tile), lambda l, s: (l, 0, j_att(s)),
+        pl.BlockSpec((1, Bp, E), lambda t: (_l(t), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, tile), lambda l, s: (l, 0, j_att(s)),
+        pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
                      memory_space=pltpu.VMEM),
-    )
-    out_shape = tuple(
+        pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
         jax.ShapeDtypeStruct(shp, f32)
         for shp in [(Bp, E)] + [(L, Bp, E)] * 5
-    )
-    scratch = [pltpu.VMEM((Bp, E), f32) for _ in range(8)]
-    scratch.append(pltpu.VMEM((8, Bp, 128), f32))
-    scratch += [pltpu.VMEM((Bp, E), jnp.int8) for _ in range(5)]
-    scratch.append(pltpu.VMEM((8, Bp, 128), f32))
+    ]
 
-    kernel = functools.partial(
-        _decode_stack_kernel,
-        n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L, a8=a8,
-    )
-    weight_bytes = L * (5 * E * E + 2 * E * F)
-    y, xy, dd, aa, bb, pp = pl.pallas_call(
-        kernel,
-        grid=(L, S),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * weight_bytes,
-            bytes_accessed=weight_bytes,
-            transcendentals=L * Bp * (4 * E + F),
-        ),
-    )(
+    operands = [
         x,
         r3(params.ln1.weight), r3(params.ln1.bias),
         r3(params.ln2.weight), r3(params.ln2.bias),
@@ -387,9 +443,63 @@ def decode_stack(
         ffn.receptance.w, r3(ffn.receptance.scale), r3(ffn.receptance.offset),
         ffn.key.w, r3(ffn.key.scale), r3(ffn.key.offset),
         ffn.value.w, r3(ffn.value.scale), r3(ffn.value.offset),
+    ]
+
+    weight_bytes = L * (5 * E * E + 2 * E * F)
+    if with_head:
+        r2 = lambda a: a.reshape(1, a.shape[0])  # noqa: E731
+        in_specs += [
+            # ln_out w/b, head scale/offset: resident rows
+            pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, tile), lambda t: (0, j_head(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += [
+            r2(params.ln_out.weight), r2(params.ln_out.bias),
+            params.head.w, r2(params.head.scale), r2(params.head.offset),
+        ]
+        # insert head weights between ln_out vecs in order matching kernel
+        out_specs.append(
+            pl.BlockSpec((Bp, tile), lambda t: (0, j_head(t)),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((Bp, n_head * tile), f32))
+        weight_bytes += E * n_head * tile
+
+    scratch = [pltpu.VMEM((Bp, E), f32) for _ in range(9)]
+    scratch.append(pltpu.VMEM((8, Bp, 128), f32))
+    scratch += [pltpu.VMEM((Bp, E), jnp.int8) for _ in range(6)]
+    scratch.append(pltpu.VMEM((8, Bp, 128), f32))
+
+    kernel = functools.partial(
+        _decode_stack_kernel,
+        n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L, n_head=n_head,
+        a8=a8, with_head=with_head,
     )
-    return y[:B], WKVState(xy=xy[:, :B], aa=aa[:, :B], bb=bb[:, :B],
-                           pp=pp[:, :B], dd=dd[:, :B])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(L * S + n_head,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * weight_bytes,
+            bytes_accessed=weight_bytes,
+            transcendentals=L * Bp * (4 * E + F),
+        ),
+    )(*operands)
+
+    y, xy, dd, aa, bb, pp = outs[:6]
+    new_state = WKVState(xy=xy[:, :B], aa=aa[:, :B], bb=bb[:, :B],
+                         pp=pp[:, :B], dd=dd[:, :B])
+    if with_head:
+        return y[:B], new_state, outs[6][:B]
+    return y[:B], new_state
 
 
 def forward_step_fused(
@@ -397,16 +507,17 @@ def forward_step_fused(
     tile: int | None = None, interpret: bool = False, head_a8: bool = False,
     a8: bool = False,
 ) -> Tuple[jax.Array, WKVState]:
-    """Full decode step on the fused stack kernel: embed+ln0 and ln_out+head
-    stay in XLA (3 cheap dispatches); the L-layer body is one kernel.
+    """Full decode step on the fused stack kernel. Embed+ln0 stays in XLA
+    (a gather + cheap elementwise); the L-layer body runs as one kernel,
+    with ln_out + the quantized head fused into the same launch whenever
+    the padded vocab divides the tile (models.rwkv4.pad_vocab). Otherwise
+    the head falls back to the standalone mm8 kernel.
 
     Drop-in signature parity with models.rwkv4.forward_step for scalar or
     [B] tokens (state leaves [L, E] or [L, B, E]).
 
-    head_a8: run the logits head as W8A8 on the native s8 MXU. Wins in
-    isolation but not in the full v5e pipeline (the scheduler hides most of
-    the head's convert cost; the activation-quant ops add latency back), so
-    default False; kept for larger-vocab/batch regimes."""
+    head_a8: with the fallback head only — run it as W8A8 on the native s8
+    MXU. a8: run ALL matvecs (stack + head) as W8A8; see decode_stack."""
     from rwkv_tpu.ops.layernorm import layer_norm
     from rwkv_tpu.ops.pallas.mm8 import mm8, mm8_a8
     from rwkv_tpu.ops.quant import QuantLinear, qmatmul
@@ -420,17 +531,31 @@ def forward_step_fused(
     x = params.emb[tok].astype(jnp.float32)  # [B, E]
     x = layer_norm(x, params.ln0.weight, params.ln0.bias)
 
-    y, new_state = decode_stack(x, params, st, tile=tile, interpret=interpret,
-                                a8=a8)
+    E = x.shape[-1]
+    ktile = tile if tile is not None else pick_tile(E)
+    head_fusable = (
+        isinstance(params.head, QuantLinear)
+        and params.head.w.dtype == jnp.int8
+        and params.head.w.shape[-1] % ktile == 0
+    )
 
-    h = layer_norm(y, params.ln_out.weight, params.ln_out.bias)
-    if isinstance(params.head, QuantLinear):
-        xs = h * params.head.scale
-        mm = mm8_a8 if (head_a8 or a8) else mm8
-        logits = (mm(xs, params.head.w, interpret=interpret)
-                  + (h @ params.head.offset)[:, None])
+    if head_fusable:
+        y, new_state, logits = decode_stack(
+            x, params, st, tile=tile, interpret=interpret, a8=a8,
+            with_head=True,
+        )
     else:
-        logits = h @ params.head
+        y, new_state = decode_stack(x, params, st, tile=tile,
+                                    interpret=interpret, a8=a8)
+        h = layer_norm(y, params.ln_out.weight, params.ln_out.bias)
+        if isinstance(params.head, QuantLinear):
+            xs = h * params.head.scale
+            mm = mm8_a8 if (head_a8 or a8) else mm8
+            logits = (mm(xs, params.head.w, interpret=interpret)
+                      + (h @ params.head.offset)[:, None])
+        else:
+            logits = h @ params.head
+
     if params.logit_bias is not None:
         logits = logits + params.logit_bias
 

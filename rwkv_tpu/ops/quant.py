@@ -122,16 +122,20 @@ def qmatmul(
     include/rwkv/cuda/rwkv.cu:290).
     """
     xs = (x * q.scale).astype(compute_dtype)
-    # HIGHEST precision: at the memory-bound batch sizes this op exists for,
-    # MXU passes are free (HBM u8 traffic is the bottleneck), so there is no
-    # reason to accept the TPU default bf16 matmul rounding on top of the
-    # quantization noise.
+    # f32 path: HIGHEST precision — at memory-bound (decode) batch sizes the
+    # extra MXU passes are free (HBM u8 traffic is the bottleneck), so there
+    # is no reason to accept bf16 matmul rounding on top of the quantization
+    # noise. bf16 path (compute-bound prefill): single-pass MXU at 4x the
+    # f32 rate, f32 accumulation; HIGHEST there would silently re-add the
+    # passes and the rate advantage with it.
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     main = jax.lax.dot_general(
         xs,
         q.w.astype(compute_dtype),
         dimension_numbers=(((x.ndim - 1,), (q.w.ndim - 2,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     off = jnp.einsum("...i,...i->...", x, q.offset)[..., None]
     return (main + off).astype(jnp.float32)

@@ -61,6 +61,7 @@ class RWKV:
         max_streams: int = 1,
         prefill_buckets: Sequence[int] = (32, 128, 512),
         sharding=None,
+        prefill_dtype=jnp.float32,
     ):
         self.params: Optional[RWKVParams] = None
         self.config: Optional[RWKVConfig] = None
@@ -72,6 +73,9 @@ class RWKV:
         self._last_logits: dict[int, jax.Array] = {}  # stream -> logits [V]
         self._pending: dict[int, int] = {}  # emitted-but-not-absorbed token
 
+        # bf16 prefill: ~4x MXU rate on the compute-bound prompt-ingest
+        # path, f32 accumulation; decode is unaffected (HBM-bound).
+        self.prefill_dtype = prefill_dtype
         self._step_fn = forward_step
         self._make_jits()
 
@@ -89,13 +93,17 @@ class RWKV:
         if max_streams is not None:
             self.max_streams = max_streams
         put = None
-        pad_to = None
+        # 512 = lcm of every decode-stack tile (128/256/384/512): makes the
+        # padded vocab divide the tile so the head fuses into the kernel.
+        pad_to = 512
         if self._sharding is not None:
+            import math
+
             from rwkv_tpu.parallel.sharding import make_put
 
             mesh = getattr(self._sharding, "mesh", self._sharding)
             put = make_put(self._sharding)
-            pad_to = 128 * mesh.shape["model"]  # TP-divisible vocab
+            pad_to = math.lcm(512, 128 * mesh.shape["model"])  # TP-divisible
         self.load_params(read_bin(path, put=put, pad_vocab_to=pad_to))
 
     def _make_jits(self) -> None:
@@ -109,7 +117,8 @@ class RWKV:
             return nxt, state, key
 
         self._jit_step = jax.jit(step)
-        self._jit_prefill = jax.jit(partial(forward_seq, parallel=True))
+        self._jit_prefill = jax.jit(partial(
+            forward_seq, parallel=True, compute_dtype=self.prefill_dtype))
         self._jit_decode = jax.jit(decode)
         self._jit_sample = jax.jit(self._sample)
 
@@ -154,6 +163,15 @@ class RWKV:
 
         self.params = params
         self.config = cfg
+        # True (unpadded) vocab: pad_vocab marks padded ids with a -1e9
+        # logit_bias so they can never be sampled; the public forward() API
+        # returns logits sliced back to this size (reference: out[50277]).
+        if params.logit_bias is not None:
+            self._true_vocab = int(
+                np.count_nonzero(np.asarray(params.logit_bias) == 0.0)
+            )
+        else:
+            self._true_vocab = cfg.vocab_size
         self.reset_state()
 
     def load_tokenizer(self, vocab_dir: str, native: Optional[bool] = None) -> None:
@@ -285,7 +303,7 @@ class RWKV:
             for i in range(self.max_streams):
                 self._last_logits[i] = logits[i]
                 self._pending.pop(i, None)
-            return logits
+            return logits[..., : self._true_vocab]
 
         if isinstance(tokens, (int, np.integer)):
             tokens = [int(tokens)]
@@ -317,7 +335,7 @@ class RWKV:
                 )
         self.set_state(state, stream)
         self._last_logits[stream] = logits
-        return logits
+        return logits[..., : self._true_vocab]
 
     def load_context(self, text: str, progress: bool = False, stream: int = 0) -> int:
         """Tokenize + ingest a prompt; returns the last token id

@@ -46,3 +46,15 @@ def test_too_short_input(setup):
     cfg, params, _ = setup
     with pytest.raises(ValueError):
         evaluate_nll(params, np.asarray([5]))
+
+
+def test_bf16_prefill_nll_close_to_f32(setup):
+    """bf16-matmul prefill (the fast path): NLL shift must stay within the
+    same budget as quantization itself (BASELINE: nll delta <= 0.05)."""
+    import jax.numpy as jnp
+
+    cfg, params, ids = setup
+    q = quantize_params(params)
+    f32 = evaluate_nll(q, ids, chunk=64)
+    bf16 = evaluate_nll(q, ids, chunk=64, compute_dtype=jnp.bfloat16)
+    assert abs(bf16["nll"] - f32["nll"]) < 0.05, (bf16["nll"], f32["nll"])
