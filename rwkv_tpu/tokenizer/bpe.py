@@ -140,6 +140,15 @@ class BPETokenizer:
         data = bytes(self.byte_decoder[c] for c in text)
         return data.decode("utf-8", errors="replace")
 
+    def tokenize(self, text: str) -> list[str]:
+        """BPE piece strings for `text`, in byte-unicode form (parity with
+        the reference GPT2Tokenizer::tokenize, tokenizer.h:116-125)."""
+        pieces: list[str] = []
+        for m in _PATTERN.findall(text):
+            mapped = "".join(self.byte_encoder[b] for b in m.encode("utf-8"))
+            pieces.extend(self._bpe(mapped))
+        return pieces
+
     def decode_bytes(self, ids: Iterable[int]) -> bytes:
         """Raw bytes — lets streaming callers hold partial UTF-8 sequences."""
         text = "".join(self.decoder.get(int(i), "") for i in ids)

@@ -82,3 +82,12 @@ def test_stream_decoder_partial_utf8(tok):
     sd = StreamDecoder(tok)
     out = "".join(sd.feed([i]) for i in ids) + sd.flush()
     assert out == text
+
+
+def test_tokenize_pieces_roundtrip(tok):
+    """tokenize() pieces join back to the byte-unicode form and map to the
+    same ids encode() gives (reference GPT2Tokenizer::tokenize parity)."""
+    text = "Hello world, it's 2026!"
+    pieces = tok.tokenize(text)
+    assert all(isinstance(p, str) and p for p in pieces)
+    assert [tok.encoder[p] for p in pieces] == tok.encode(text)
