@@ -47,15 +47,36 @@ class PoolRunner:
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._done: dict[int, str] = {}
+        self._errors: dict[int, str] = {}
         self._events: dict[int, threading.Event] = {}
         t = threading.Thread(target=self._loop, daemon=True)
         t.start()
 
+    def _fail_all(self, msg: str):
+        """A step blew up: fail every waiting request (never leave a client
+        blocked forever) and drop the pool's in-flight bookkeeping."""
+        with self._lock:
+            events, self._events = self._events, {}
+            for rid in events:
+                self._errors[rid] = msg
+            self.pool._queue.clear()
+            for slot, req in list(self.pool._by_slot.items()):
+                self.pool._active[slot] = False
+                del self.pool._by_slot[slot]
+                self.pool._free.append(slot)
+        for ev in events.values():
+            ev.set()
+
     def _loop(self):
         while True:
-            with self._lock:
-                busy = self.pool.pending > 0
-                finished = self.pool.step() if busy else []
+            try:
+                with self._lock:
+                    busy = self.pool.pending > 0
+                    finished = self.pool.step() if busy else []
+            except Exception as e:  # noqa: BLE001 — must not kill the loop
+                print(f"[pool] step failed: {e!r}", file=sys.stderr)
+                self._fail_all(f"pool step failed: {e}")
+                continue
             for req in finished:
                 self._done[req.rid] = req.text
                 ev = self._events.pop(req.rid, None)
@@ -72,6 +93,9 @@ class PoolRunner:
             self._events[rid] = ev
         self._wake.set()
         ev.wait()
+        err = self._errors.pop(rid, None)
+        if err is not None:
+            raise RuntimeError(err)
         return self._done.pop(rid)
 
 
@@ -94,7 +118,7 @@ def make_handler(eng, lock, runner=None):
                 self._json(200, {
                     "status": "ok",
                     "model": {"n_layer": cfg.n_layer, "n_embd": cfg.n_embd,
-                              "vocab": cfg.vocab_size},
+                              "vocab": eng._true_vocab},
                 })
             else:
                 self._json(404, {"error": "not found"})
@@ -120,16 +144,29 @@ def make_handler(eng, lock, runner=None):
                 prompt = req.get("prompt")
                 if not isinstance(prompt, str) or not prompt:
                     return self._json(400, {"error": "missing 'prompt'"})
-                max_tokens = min(int(req.get("max_tokens", 128)), 2048)
+                stop = req.get("stop")
+                if stop is not None and (
+                    not isinstance(stop, list)
+                    or not all(isinstance(s, str) for s in stop)
+                ):
+                    return self._json(400,
+                                      {"error": "'stop' must be a string list"})
+                try:
+                    max_tokens = min(int(req.get("max_tokens", 128)), 2048)
+                except (TypeError, ValueError):
+                    return self._json(400, {"error": "bad 'max_tokens'"})
                 if runner is not None:  # continuous batching
-                    out = runner.submit(
-                        prompt,
-                        max_tokens=max_tokens,
-                        temp=float(req.get("temp", 0.9)),
-                        tau=float(req.get("tau", 0.8)),
-                        seed=int(req.get("seed", 0)),
-                        stop=req.get("stop"),
-                    )
+                    try:
+                        out = runner.submit(
+                            prompt,
+                            max_tokens=max_tokens,
+                            temp=float(req.get("temp", 0.9)),
+                            tau=float(req.get("tau", 0.8)),
+                            seed=int(req.get("seed", 0)),
+                            stop=stop,
+                        )
+                    except RuntimeError as e:
+                        return self._json(500, {"error": str(e)})
                 else:
                     with lock:  # single model; serialize requests
                         eng.reset_state(0)
@@ -139,7 +176,7 @@ def make_handler(eng, lock, runner=None):
                             temp=float(req.get("temp", 0.9)),
                             tau=float(req.get("tau", 0.8)),
                             seed=int(req.get("seed", 0)),
-                            stop=req.get("stop"),
+                            stop=stop,
                         )
                 return self._json(200, {"completion": out,
                                         "tokens": len(eng.tokenizer.encode(out))})

@@ -543,7 +543,13 @@ def pad_vocab(params: RWKVParams, multiple: int = 128) -> RWKVParams:
         )
     else:
         head = jnp.pad(head, ((0, 0), (0, pad)))
-    bias = jnp.where(jnp.arange(Vp) < V, 0.0, -1e9).astype(jnp.float32)
+    if params.logit_bias is not None:
+        # re-padding an already-padded model: keep the old pad ids banned
+        bias = jnp.concatenate(
+            [params.logit_bias, jnp.full((pad,), -1e9, jnp.float32)]
+        )
+    else:
+        bias = jnp.where(jnp.arange(Vp) < V, 0.0, -1e9).astype(jnp.float32)
     return dataclasses.replace(params, emb=emb, head=head, logit_bias=bias)
 
 

@@ -121,12 +121,27 @@ def _decode_stack_kernel(
     if with_head:
         logits_out = refs[i]                    # [Bp, T] tile of [Bp, Vp]
         i += 1
-    (
-        xcur, xs_k, xs_v, xs_r, xs_fk, xs_fr, gate, zacc, xs_h,
-        offs,                                   # [8, Bp, 128]
-        q_k, q_v, q_r, q_fk, q_fr, q_h,         # [Bp, E] int8 (a8 mode)
-        scls,                                   # [8, Bp, 128] a8 row scales
-    ) = refs[i:]
+    # Scratch layout mirrors the static build in decode_stack(): f32 xs_*
+    # only without a8, int8 q_* + scls only with a8, head activation only
+    # with the fused head. (Dead scratch would silently eat VMEM margin the
+    # tile picker budgeted for weight blocks.)
+    it = iter(refs[i:])
+    xcur = next(it)
+    xs_k = xs_v = xs_r = xs_fk = xs_fr = xs_h = None
+    q_k = q_v = q_r = q_fk = q_fr = q_h = scls = None
+    if not a8:
+        xs_k, xs_v, xs_r, xs_fk, xs_fr = (
+            next(it), next(it), next(it), next(it), next(it))
+    gate, zacc = next(it), next(it)
+    if with_head and not a8:
+        xs_h = next(it)
+    offs = next(it)                             # [8, Bp, 128]
+    if a8:
+        q_k, q_v, q_r, q_fk, q_fr = (
+            next(it), next(it), next(it), next(it), next(it))  # [Bp,E] i8
+        if with_head:
+            q_h = next(it)
+        scls = next(it)                         # [8, Bp, 128] row scales
 
     S = 2 * n_att + n_ffn
     t = pl.program_id(0)
@@ -286,8 +301,9 @@ def pick_tile(n_embd: int, preferred: int = 512,
     weight blocks (8 tiles of E x tile int8 per grid step: 7 layer matrices
     + the head) inside VMEM.
 
-    E<=1024 -> 512, E=2048 -> 384(448 cap), E=4096 -> 256, E=5120 -> 128 on
-    a 16MB-VMEM core.
+    With the 15MB budget on a 16MB-VMEM core: E=768 -> 384, E=1024 -> 512,
+    E=2048/2560 -> 256 (384 divides neither; 512 over budget),
+    E=4096/5120 -> 128.
     """
     for t in (preferred, 512, 384, 256, 128):
         if t <= preferred and n_embd % t == 0 and 16 * n_embd * t <= vmem_budget:
@@ -469,10 +485,19 @@ def decode_stack(
         out_shape.append(jax.ShapeDtypeStruct((Bp, n_head * tile), f32))
         weight_bytes += E * n_head * tile
 
-    scratch = [pltpu.VMEM((Bp, E), f32) for _ in range(9)]
-    scratch.append(pltpu.VMEM((8, Bp, 128), f32))
-    scratch += [pltpu.VMEM((Bp, E), jnp.int8) for _ in range(6)]
-    scratch.append(pltpu.VMEM((8, Bp, 128), f32))
+    # Must mirror the unpack in _decode_stack_kernel exactly.
+    scratch = [pltpu.VMEM((Bp, E), f32)]                      # xcur
+    if not a8:
+        scratch += [pltpu.VMEM((Bp, E), f32) for _ in range(5)]   # xs_*
+    scratch += [pltpu.VMEM((Bp, E), f32) for _ in range(2)]   # gate, zacc
+    if with_head and not a8:
+        scratch.append(pltpu.VMEM((Bp, E), f32))              # xs_h
+    scratch.append(pltpu.VMEM((8, Bp, 128), f32))             # offs
+    if a8:
+        scratch += [pltpu.VMEM((Bp, E), jnp.int8) for _ in range(5)]
+        if with_head:
+            scratch.append(pltpu.VMEM((Bp, E), jnp.int8))     # q_h
+        scratch.append(pltpu.VMEM((8, Bp, 128), f32))         # scls
 
     kernel = functools.partial(
         _decode_stack_kernel,

@@ -93,8 +93,8 @@ class RWKV:
         if max_streams is not None:
             self.max_streams = max_streams
         put = None
-        # 512 = lcm of every decode-stack tile (128/256/384/512): makes the
-        # padded vocab divide the tile so the head fuses into the kernel.
+        # 512 covers the power-of-two decode-stack tiles (128/256/512);
+        # load_params repads if the chosen tile (e.g. 384) doesn't divide.
         pad_to = 512
         if self._sharding is not None:
             import math
@@ -149,9 +149,22 @@ class RWKV:
                 and cfg.n_ffn % 256 == 0
             )
         if use_fused:
-            from rwkv_tpu.models.rwkv4 import signedize_params
-            from rwkv_tpu.ops.pallas.decode_stack import forward_step_fused
+            import math
 
+            from rwkv_tpu.models.rwkv4 import pad_vocab, signedize_params
+            from rwkv_tpu.ops.pallas.decode_stack import forward_step_fused, \
+                pick_tile
+
+            # Guarantee the head fuses into the kernel: repad the vocab to
+            # the actual tile if whatever padding the loader applied does
+            # not divide it (depends on E; cannot be known at read time).
+            if isinstance(params.head, QuantLinear):
+                tile = pick_tile(cfg.n_embd)
+                vp = params.head.w.shape[-1]
+                if vp % tile:
+                    mult = math.lcm(tile, 128)
+                    params = pad_vocab(params, multiple=mult)
+                    cfg = params.config
             params = signedize_params(params)
             self._step_fn = (
                 partial(forward_step_fused, a8=True) if a8
@@ -387,6 +400,9 @@ class RWKV:
             return ""
 
         key = jax.random.PRNGKey(seed)
+        # Ban mask at the PADDED vocab width: all sampling below runs on the
+        # internal (padded) logits; only the public forward() return is
+        # sliced to the true vocab.
         ban = np.zeros((self.config.vocab_size,), bool)
         for t in ban_tokens:
             ban[t] = True
@@ -397,14 +413,15 @@ class RWKV:
         # last prompt token (a reference quirk we fix: its decode loop
         # forwards `lasttoken` again after loadContext already ingested it).
         if prompt:
-            logits = self.forward(self.tokenizer.encode(prompt), stream=stream)
+            self.forward(self.tokenizer.encode(prompt), stream=stream)
         elif stream in self._last_logits and self._pending.get(stream) is None:
-            logits = self._last_logits[stream]
+            pass
         else:
             seed_tok = self._pending.pop(stream, None)
             if seed_tok is None:
                 seed_tok = first_token if first_token is not None else 0
-            logits = self.forward(int(seed_tok), stream=stream)
+            self.forward(int(seed_tok), stream=stream)
+        logits = self._last_logits[stream]  # padded width, matches `ban`
 
         token, key = self._jit_sample(logits, key, tempf, tauf, ban)
         state = self.get_state(stream)

@@ -136,3 +136,23 @@ def test_generate_deterministic_same_seed(engine):
     engine.reset_state()
     b = engine.generate("Once", max_tokens=5, seed=7)
     assert a == b
+
+
+@pytest.mark.skipif(not os.path.isdir(VOCAB_DIR), reason="vocab unavailable")
+def test_generate_with_padded_checkpoint(tmp_path, engine):
+    """load_file pads the vocab to 512; generate() must still work (the ban
+    mask and sampling run at the padded width, forward() returns true-vocab
+    logits). Regression: ban/logits shape mismatch crashed every prompted
+    generation from a real .bin."""
+    from rwkv_tpu.io.binfmt import write_bin
+
+    path = str(tmp_path / "padded.bin")
+    write_bin(path, engine.params)
+    eng2 = RWKV(path, VOCAB_DIR)
+    assert eng2.config.vocab_size % 512 == 0  # actually padded
+    assert eng2._true_vocab == 50277
+    out = eng2.generate("Hi", max_tokens=4, seed=0)
+    assert isinstance(out, str)
+    # public logits API stays at the true vocab width
+    eng2.reset_state()
+    assert eng2.forward(5).shape == (50277,)
