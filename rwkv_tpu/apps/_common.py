@@ -19,13 +19,18 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mock", action="store_true",
                    help="tiny random-weights model (demo/tests, no checkpoint)")
     p.add_argument("--streams", type=int, default=1, help="max parallel streams")
+    p.add_argument("--bf16-prefill", action="store_true",
+                   help="bf16 matmuls for prompt ingest (~2x; see BENCH_NOTES)")
     p.add_argument("--temp", type=float, default=0.9)
     p.add_argument("--tau", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
 
 
 def build_engine(args) -> RWKV:
-    eng = RWKV(max_streams=args.streams)
+    import jax.numpy as jnp
+
+    pdt = jnp.bfloat16 if getattr(args, "bf16_prefill", False) else jnp.float32
+    eng = RWKV(max_streams=args.streams, prefill_dtype=pdt)
     if args.mock:
         import jax
 

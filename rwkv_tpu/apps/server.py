@@ -201,7 +201,8 @@ def main(argv=None):
         from rwkv_tpu.runtime.pool import InferencePool
 
         pool = InferencePool(eng.params, eng.tokenizer,
-                             max_streams=args.pool, step_fn=eng._step_fn)
+                             max_streams=args.pool, step_fn=eng._step_fn,
+                             prefill_dtype=eng.prefill_dtype)
         runner = PoolRunner(pool)
         print(f"continuous batching: {args.pool} slots", file=sys.stderr)
     lock = threading.Lock()

@@ -58,17 +58,22 @@ class InferencePool:
         max_streams: int = 8,
         prefill_bucket: int = 128,
         step_fn: Optional[Callable] = None,
+        prefill_dtype=jnp.float32,
     ):
         """step_fn: the per-token forward (params, tokens, state) ->
         (logits, state); defaults to the XLA forward_step. Pass
         ops.pallas.decode_stack.forward_step_fused (with signedized params)
-        to run the batch on the fused kernel on a real TPU."""
+        to run the batch on the fused kernel on a real TPU.
+
+        prefill_dtype: jnp.bfloat16 doubles prompt-ingest throughput
+        (compute-bound path; see BENCH_NOTES.md)."""
         self.params = params
         self.cfg = params.config
         self.tok = tokenizer
         self.B = max_streams
         self.prefill_bucket = prefill_bucket
         self._step_impl = step_fn or forward_step
+        self.prefill_dtype = prefill_dtype
 
         self._state = init_state(self.cfg, (self.B,))
         self._tokens = np.zeros((self.B,), np.int32)
@@ -110,11 +115,11 @@ class InferencePool:
         nxt = jnp.where(active, nxt, 0)
         return nxt, state, keys
 
-    @staticmethod
-    def _prefill(params, tokens, length, slot_state):
+    def _prefill(self, params, tokens, length, slot_state):
         """Single-slot prompt ingest (parallel WKV scan), bucketed."""
         logits, new_state = forward_seq(
-            params, tokens, slot_state, parallel=True, length=length
+            params, tokens, slot_state, parallel=True, length=length,
+            compute_dtype=self.prefill_dtype,
         )
         return logits, new_state
 
