@@ -39,8 +39,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 def weight_bytes_per_token(params) -> int:
     """Bytes that must stream from HBM for one decode step: every quantized
     matrix + scales/offsets + layernorms/mixes/decay/bonus + one emb row."""
-    from rwkv_tpu.ops.quant import QuantLinear
-
     total = 0
     for leaf in jax.tree.leaves(params):
         total += leaf.size * leaf.dtype.itemsize
@@ -178,8 +176,6 @@ def main():
     # Two-length slope timing: the tunneled device adds a fixed ~30ms
     # dispatch+sync floor per call; timing K and 2K steps and taking the
     # difference measures pure per-token device time.
-    import functools as _ft
-
     def decode_k2(params, token, state):
         def body(carry, _):
             tok, st = carry

@@ -12,8 +12,6 @@ memory. All math f32 on device; only per-chunk scalar sums come back.
 from __future__ import annotations
 
 import math
-from typing import Iterable, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,14 +13,13 @@ tensor lands directly in its distributed layout.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rwkv_tpu.io.registry import REGISTRY, SCRATCH, VOCAB, file_layout
+from rwkv_tpu.io.registry import REGISTRY, VOCAB, file_layout
 from rwkv_tpu.models.config import RWKVConfig
 from rwkv_tpu.models.rwkv4 import (
     AttParams,

@@ -19,13 +19,15 @@ but MXU matmuls + VMEM residency + sequential-grid accumulation instead of
 ~185 kernel launches with atomicAdd reductions.
 
 The grid is a FLAT 1-D sequence of steps (TPU grids execute sequentially on
-a core). With S = 2·nE + nF steps per layer and H head tiles:
+a core). With S = nE + nF steps per layer and H head tiles:
 
   t in [l·S,      l·S+nE)    layer l att: k/v/r tile matvecs + WKV tile +
                              partial out-projection
-  t in [l·S+nE,   l·S+2nE)   layer l ffn gate: sigmoid(receptance) tiles
-  t in [l·S+2nE,  (l+1)·S)   layer l ffn: key tile -> relu^2 -> partial
-                             value accumulation
+  t in [l·S+nE,   (l+1)·S)   layer l ffn: key tile -> relu^2 -> partial
+                             value accumulation; the first nE of these
+                             steps ALSO compute one sigmoid-gate tile each
+                             (gate rides along — nF >= nE always since
+                             F = 4E — saving nE grid steps per layer)
   t in [L·S,      L·S+H)     ln_out + head tile matvecs -> logits
                              (flattening is what makes this affordable: a
                              2-D (L, S+H) grid would spend (L-1)·H no-op
@@ -143,7 +145,7 @@ def _decode_stack_kernel(
             q_h = next(it)
         scls = next(it)                         # [8, Bp, 128] row scales
 
-    S = 2 * n_att + n_ffn
+    S = n_att + n_ffn
     t = pl.program_id(0)
     l = jnp.minimum(t // S, n_layer - 1)
     s = t - l * S                       # head phase (l = L-1) => s in [S, S+H)
@@ -240,19 +242,21 @@ def _decode_stack_kernel(
         offs[FFV] = jnp.zeros_like(offs[FFV])
         zacc[:] = jnp.zeros_like(zacc)
 
-    # ------------------------------------------------------------- gate tiles
-    @pl.when(jnp.logical_and(s >= n_att, s < 2 * n_att))
+    # ------------------------------------------- ffn tiles (gate rides along)
+    @pl.when(jnp.logical_and(s >= n_att, s < S))
     def _():
         j = s - n_att
-        if a8:
-            g_t = _dot_s8(q_fr[:], wg[0]) * scls[SFR][:, :1] + offs[FFR][:, :1]
-        else:
-            g_t = _dot(xs_fr[:], wg[0]) + offs[FFR][:, :1]
-        gate[:, pl.ds(j * tile, tile)] = 1.0 / (1.0 + jnp.exp(-g_t))
 
-    # ------------------------------------------------------------- ffn tiles
-    @pl.when(jnp.logical_and(s >= 2 * n_att, s < S))
-    def _():
+        # one gate tile per early ffn step (j < n_att; nF = 4·nE >= nE)
+        @pl.when(j < n_att)
+        def _():
+            if a8:
+                g_t = (_dot_s8(q_fr[:], wg[0]) * scls[SFR][:, :1]
+                       + offs[FFR][:, :1])
+            else:
+                g_t = _dot(xs_fr[:], wg[0]) + offs[FFR][:, :1]
+            gate[:, pl.ds(j * tile, tile)] = 1.0 / (1.0 + jnp.exp(-g_t))
+
         if a8:
             h_t = _dot_s8(q_fk[:], ffnk[0]) * scls[SFK][:, :1] + offs[FFK][:, :1]
         else:
@@ -348,7 +352,11 @@ def decode_stack(
         tile = pick_tile(E)
     assert E % tile == 0 and F % tile == 0, (E, F, tile)
     n_att, n_ffn = E // tile, F // tile
-    S = 2 * n_att + n_ffn
+    assert n_ffn >= n_att, (
+        f"gate tiles ride along the first n_att ffn steps; needs "
+        f"n_ffn ({n_ffn}) >= n_att ({n_att}) — true for RWKV's F = 4E"
+    )
+    S = n_att + n_ffn
 
     n_head = 0
     if with_head:
@@ -384,7 +392,7 @@ def decode_stack(
 
     j_att = lambda t: clamp(_s(t), 0, n_att - 1)                # noqa: E731
     j_gate = lambda t: clamp(_s(t) - n_att, 0, n_att - 1)       # noqa: E731
-    j_ffn = lambda t: clamp(_s(t) - 2 * n_att, 0, n_ffn - 1)    # noqa: E731
+    j_ffn = lambda t: clamp(_s(t) - n_att, 0, n_ffn - 1)        # noqa: E731
     j_head = lambda t: clamp(_s(t) - S, 0, max(n_head - 1, 0))  # noqa: E731
 
     # Per-layer vectors are lifted to [L, 1, X] so the trailing two block
@@ -545,7 +553,7 @@ def forward_step_fused(
     MXU. a8: run ALL matvecs (stack + head) as W8A8; see decode_stack."""
     from rwkv_tpu.ops.layernorm import layer_norm
     from rwkv_tpu.ops.pallas.mm8 import mm8, mm8_a8
-    from rwkv_tpu.ops.quant import QuantLinear, qmatmul
+    from rwkv_tpu.ops.quant import QuantLinear
 
     unbatched = token.ndim == 0
     tok = token[None] if unbatched else token

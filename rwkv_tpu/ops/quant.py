@@ -29,8 +29,6 @@ dot; the Pallas kernel in ops/pallas/mm8.py does it explicitly with tiling.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -27,8 +27,6 @@ Streams (the batch dim of token ids and of state pools) shard over 'data'.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import enum
 from functools import partial
-from typing import Callable, Iterable, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
