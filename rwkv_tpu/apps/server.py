@@ -4,8 +4,11 @@
 Stdlib-only (the reference ethos is dependency-free). Endpoints:
 
   POST /complete   {"prompt": str, "max_tokens": int?, "temp": float?,
-                    "tau": float?, "stop": [str]?, "seed": int?}
+                    "tau": float?, "stop": [str]?, "seed": int?,
+                    "stream": bool?}
                 -> {"completion": str, "tokens": int}
+                   (stream:true -> chunked text/event-stream of
+                    data: {"text": piece} lines, closed by data: [DONE])
   POST /tokenize   {"text": str} -> {"ids": [int]}
   POST /detokenize {"ids": [int]} -> {"text": str}
   GET  /health     -> {"status": "ok", "model": {...}}
@@ -98,6 +101,20 @@ class PoolRunner:
             raise RuntimeError(err)
         return self._done.pop(rid)
 
+    def submit_stream(self, prompt, on_text, **kw) -> str:
+        """Like submit(), but text pieces flow to on_text as they decode.
+        on_text runs on the pool's stepping thread — keep it fast."""
+        ev = threading.Event()
+        with self._lock:
+            rid = self.pool.submit(prompt, on_text=on_text, **kw)
+            self._events[rid] = ev
+        self._wake.set()
+        ev.wait()
+        err = self._errors.pop(rid, None)
+        if err is not None:
+            raise RuntimeError(err)
+        return self._done.pop(rid)
+
 
 def make_handler(eng, lock, runner=None):
     class Handler(BaseHTTPRequestHandler):
@@ -155,33 +172,69 @@ def make_handler(eng, lock, runner=None):
                     max_tokens = min(int(req.get("max_tokens", 128)), 2048)
                 except (TypeError, ValueError):
                     return self._json(400, {"error": "bad 'max_tokens'"})
+                kw = dict(
+                    max_tokens=max_tokens,
+                    temp=float(req.get("temp", 0.9)),
+                    tau=float(req.get("tau", 0.8)),
+                    seed=int(req.get("seed", 0)),
+                    stop=stop,
+                )
+                if req.get("stream"):
+                    return self._stream_complete(prompt, kw)
                 if runner is not None:  # continuous batching
                     try:
-                        out = runner.submit(
-                            prompt,
-                            max_tokens=max_tokens,
-                            temp=float(req.get("temp", 0.9)),
-                            tau=float(req.get("tau", 0.8)),
-                            seed=int(req.get("seed", 0)),
-                            stop=stop,
-                        )
+                        out = runner.submit(prompt, **kw)
                     except RuntimeError as e:
                         return self._json(500, {"error": str(e)})
                 else:
                     with lock:  # single model; serialize requests
                         eng.reset_state(0)
-                        out = eng.generate(
-                            prompt,
-                            max_tokens=max_tokens,
-                            temp=float(req.get("temp", 0.9)),
-                            tau=float(req.get("tau", 0.8)),
-                            seed=int(req.get("seed", 0)),
-                            stop=stop,
-                        )
+                        out = eng.generate(prompt, **kw)
                 return self._json(200, {"completion": out,
                                         "tokens": len(eng.tokenizer.encode(out))})
 
             self._json(404, {"error": "not found"})
+
+        def _stream_complete(self, prompt, kw):
+            """Chunked transfer: each decoded text piece is flushed as an
+            SSE `data:` line the moment it exists; a final `data: [DONE]`
+            closes the stream (no reference equivalent — its servers buffer
+            the full completion)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data: bytes):
+                try:
+                    self.wfile.write(f"{len(data):X}\r\n".encode())
+                    self.wfile.write(data + b"\r\n")
+                    self.wfile.flush()
+                    return True
+                except (BrokenPipeError, ConnectionResetError):
+                    return False  # client went away; keep decoding (pool)
+
+            def emit(piece: str):
+                chunk(b"data: " + json.dumps({"text": piece}).encode()
+                      + b"\n\n")
+
+            try:
+                if runner is not None:
+                    runner.submit_stream(prompt, emit, **kw)
+                else:
+                    with lock:
+                        eng.reset_state(0)
+                        eng.generate(prompt, on_text=emit, **kw)
+            except RuntimeError as e:
+                chunk(b"data: " + json.dumps({"error": str(e)}).encode()
+                      + b"\n\n")
+            chunk(b"data: [DONE]\n\n")
+            try:
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass
 
     return Handler
 

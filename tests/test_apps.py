@@ -137,3 +137,34 @@ def test_pooled_server_concurrent_completions(pooled_server):
     for code, body in results.values():
         assert code == 200
         assert "completion" in body
+
+
+def test_server_streaming_complete(server):
+    """stream:true returns SSE lines ending with [DONE]."""
+    req = urllib.request.Request(
+        server + "/complete",
+        json.dumps({"prompt": "Hello", "max_tokens": 4,
+                    "stream": True}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "text/event-stream"
+        body = r.read().decode()
+    lines = [l for l in body.splitlines() if l.startswith("data: ")]
+    assert lines[-1] == "data: [DONE]"
+    # every other line is a JSON text piece
+    for l in lines[:-1]:
+        assert "text" in json.loads(l[len("data: "):])
+
+
+def test_pooled_server_streaming(pooled_server):
+    req = urllib.request.Request(
+        pooled_server + "/complete",
+        json.dumps({"prompt": "Hi", "max_tokens": 3,
+                    "stream": True}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        body = r.read().decode()
+    assert "data: [DONE]" in body
