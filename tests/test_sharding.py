@@ -147,3 +147,14 @@ def test_sharded_streaming_load(tmp_path):
             loaded, jnp.asarray(3), shard_state(init_state(cfg), mesh, batched=False)
         )
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), rtol=2e-4, atol=2e-4)
+
+
+def test_pod_mesh_virtual_devices():
+    """pod_mesh over the 8 virtual CPU devices: model='slice' puts TP on
+    the local devices, explicit ints split TP x DP."""
+    from rwkv_tpu.parallel.multihost import pod_mesh
+
+    mesh = pod_mesh()  # model="slice": all 8 local
+    assert mesh.shape["model"] * mesh.shape["data"] == 8
+    mesh2 = pod_mesh(model=4)
+    assert mesh2.shape["model"] == 4 and mesh2.shape["data"] == 2
