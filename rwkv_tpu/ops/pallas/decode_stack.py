@@ -305,12 +305,22 @@ def pick_tile(n_embd: int, preferred: int = 512,
     weight blocks (8 tiles of E x tile int8 per grid step: 7 layer matrices
     + the head) inside VMEM.
 
-    With the 15MB budget on a 16MB-VMEM core: E=768 -> 384, E=1024 -> 512,
-    E=2048/2560 -> 256 (384 divides neither; 512 over budget),
-    E=4096/5120 -> 128.
+    The full-width tile (tile == E) is considered first even above
+    `preferred`: fewer grid steps measurably win when it fits (169M/E=768:
+    tile 768 -> 4,633 tok/s vs tile 384 -> 4,181; per-step overhead is the
+    binding constraint at small E).
+
+    With the 15MB budget on a 16MB-VMEM core: E=768 -> 768, E=1024 -> 512
+    (full width would need 16.8MB), E=2048/2560 -> 256 (384 divides
+    neither; 512 over budget), E=4096/5120 -> 128.
     """
-    for t in (preferred, 512, 384, 256, 128):
-        if t <= preferred and n_embd % t == 0 and 16 * n_embd * t <= vmem_budget:
+    for t in (n_embd, preferred, 512, 384, 256, 128):
+        if (
+            n_embd % t == 0
+            and t % 128 == 0
+            and (t == n_embd or t <= preferred)
+            and 16 * n_embd * t <= vmem_budget
+        ):
             return t
     if n_embd % 128 == 0:
         return 128

@@ -28,6 +28,7 @@ from rwkv_tpu.models.rwkv4 import (
     init_state,
 )
 from rwkv_tpu.ops.sampling import typical
+from rwkv_tpu.utils.metrics import metrics
 from rwkv_tpu.tokenizer.bpe import BPETokenizer, StreamDecoder
 
 
@@ -216,6 +217,7 @@ class InferencePool:
                 text = text[: min(hits)]
         req.text = text
         req.done = True
+        metrics.inc("pool.requests_completed")
         slot = req.slot
         self._active[slot] = False
         del self._by_slot[slot]
@@ -240,6 +242,8 @@ class InferencePool:
         )
         nxt_host = np.asarray(nxt)
         self._keys = np.array(keys)
+        metrics.inc("pool.steps")
+        metrics.inc("pool.tokens_decoded", len(self._by_slot))
 
         finished = []
         for slot, req in list(self._by_slot.items()):
