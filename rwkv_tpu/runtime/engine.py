@@ -149,21 +149,16 @@ class RWKV:
                 and cfg.n_ffn % 256 == 0
             )
         if use_fused:
-            import math
-
             from rwkv_tpu.models.rwkv4 import pad_vocab, signedize_params
-            from rwkv_tpu.ops.pallas.decode_stack import forward_step_fused, \
-                pick_tile
+            from rwkv_tpu.ops.pallas.decode_stack import forward_step_fused
 
-            # Guarantee the head fuses into the kernel: repad the vocab to
-            # the actual tile if whatever padding the loader applied does
-            # not divide it (depends on E; cannot be known at read time).
+            # Guarantee the head fuses into the kernel: the head tile is any
+            # 128-multiple divisor of the padded vocab (pick_head_tile), so
+            # lane alignment is the only requirement.
             if isinstance(params.head, QuantLinear):
-                tile = pick_tile(cfg.n_embd)
                 vp = params.head.w.shape[-1]
-                if vp % tile:
-                    mult = math.lcm(tile, 128)
-                    params = pad_vocab(params, multiple=mult)
+                if vp % 128:
+                    params = pad_vocab(params, multiple=128)
                     cfg = params.config
             params = signedize_params(params)
             self._step_fn = (
