@@ -119,3 +119,35 @@ def test_fused_step_a8_close_to_oracle(model):
     assert rel < 0.05, rel
     # greedy decisions should agree on a confident argmax
     assert np.argmax(a) == np.argmax(b)
+
+
+def test_pick_tile_invariants():
+    from rwkv_tpu.ops.pallas.decode_stack import pick_head_tile, pick_tile
+
+    for e in (128, 256, 768, 1024, 2048, 2560, 4096, 5120):
+        t = pick_tile(e)
+        assert e % t == 0 and t % 128 == 0
+        assert 16 * e * t <= 15 * 1024 * 1024
+        for vp in (50304, 50688, 50432):
+            ht = pick_head_tile(e, t, vp)
+            assert vp % ht == 0 and ht % 128 == 0
+            # double-buffered head blocks + 7 layer streams fit the budget
+            assert 14 * e * t + 2 * e * ht <= 15 * 1024 * 1024
+
+
+def test_engine_repads_unaligned_vocab():
+    """In-memory params with a vocab that isn't lane-aligned: load_params
+    must repad so the fused head can engage (and ban the padding)."""
+    import numpy as np
+
+    from rwkv_tpu.models.config import RWKVConfig
+    from rwkv_tpu.models.rwkv4 import init_params as ip, quantize_params as qp
+    from rwkv_tpu.runtime.engine import RWKV
+
+    cfg = RWKVConfig.tiny_test(n_layer=2, n_embd=128, vocab_size=201)
+    eng = RWKV()
+    eng.load_params(qp(ip(jax.random.PRNGKey(0), cfg)), use_fused=True)
+    assert eng.config.vocab_size % 128 == 0
+    assert eng._true_vocab == 201
+    lb = np.asarray(eng.params.logit_bias)
+    assert (lb[:201] == 0).all() and (lb[201:] < -1e8).all()
