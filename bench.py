@@ -145,19 +145,21 @@ def main():
 
     # K greedy decode steps fully on device: the sampled token feeds back
     # inside one jit (no host round-trips, like a real serving inner loop).
-    def decode_k(params, token, state):
-        def body(carry, _):
-            tok, st = carry
-            logits, st = step_fn(params, tok, st)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (nxt, st), nxt
+    def make_decoder(n_steps):
+        def decode_k(params, token, state):
+            def body(carry, _):
+                tok, st = carry
+                logits, st = step_fn(params, tok, st)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, st), nxt
 
-        (tok, state), toks = jax.lax.scan(
-            body, (token, state), None, length=steps
-        )
-        return tok, state, toks
+            (tok, state), toks = jax.lax.scan(
+                body, (token, state), None, length=n_steps
+            )
+            return tok, state, toks
+        return decode_k
 
-    run = jax.jit(decode_k)
+    run = jax.jit(make_decoder(steps))
     if batch > 1:
         tok = jnp.full((batch,), 187, jnp.int32)
     else:
@@ -176,19 +178,7 @@ def main():
     # Two-length slope timing: the tunneled device adds a fixed ~30ms
     # dispatch+sync floor per call; timing K and 2K steps and taking the
     # difference measures pure per-token device time.
-    def decode_k2(params, token, state):
-        def body(carry, _):
-            tok, st = carry
-            logits, st = step_fn(params, tok, st)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (nxt, st), nxt
-
-        (tok, state), toks = jax.lax.scan(
-            body, (token, state), None, length=2 * steps
-        )
-        return tok, state, toks
-
-    run2 = jax.jit(decode_k2)
+    run2 = jax.jit(make_decoder(2 * steps))
     tok3, _, _ = run2(params, tok, state)
     np.asarray(tok3)
 

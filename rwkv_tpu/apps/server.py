@@ -62,11 +62,7 @@ class PoolRunner:
             events, self._events = self._events, {}
             for rid in events:
                 self._errors[rid] = msg
-            self.pool._queue.clear()
-            for slot, req in list(self.pool._by_slot.items()):
-                self.pool._active[slot] = False
-                del self.pool._by_slot[slot]
-                self.pool._free.append(slot)
+            self.pool.abort_all()
         for ev in events.values():
             ev.set()
 
@@ -89,21 +85,10 @@ class PoolRunner:
                 self._wake.wait()
                 self._wake.clear()
 
-    def submit(self, prompt, **kw) -> str:
-        ev = threading.Event()
-        with self._lock:
-            rid = self.pool.submit(prompt, **kw)
-            self._events[rid] = ev
-        self._wake.set()
-        ev.wait()
-        err = self._errors.pop(rid, None)
-        if err is not None:
-            raise RuntimeError(err)
-        return self._done.pop(rid)
-
-    def submit_stream(self, prompt, on_text, **kw) -> str:
-        """Like submit(), but text pieces flow to on_text as they decode.
-        on_text runs on the pool's stepping thread — keep it fast."""
+    def submit(self, prompt, on_text=None, **kw) -> str:
+        """Enqueue and block until the pool finishes the request. on_text
+        (optional) receives text pieces as they decode — it runs on the
+        pool's stepping thread, keep it fast."""
         ev = threading.Event()
         with self._lock:
             rid = self.pool.submit(prompt, on_text=on_text, **kw)
@@ -221,7 +206,7 @@ def make_handler(eng, lock, runner=None):
 
             try:
                 if runner is not None:
-                    runner.submit_stream(prompt, emit, **kw)
+                    runner.submit(prompt, on_text=emit, **kw)
                 else:
                     with lock:
                         eng.reset_state(0)

@@ -93,8 +93,9 @@ class RWKV:
         if max_streams is not None:
             self.max_streams = max_streams
         put = None
-        # 512 covers the power-of-two decode-stack tiles (128/256/512);
-        # load_params repads if the chosen tile (e.g. 384) doesn't divide.
+        # Pad to 512, not the minimal 128: 50277 -> 50688 = 128*4*9*11,
+        # whose rich divisor set lets pick_head_tile choose wide head tiles
+        # (128-padding gives 50304 = 128*3*131 — widest usable tile 384).
         pad_to = 512
         if self._sharding is not None:
             import math
@@ -158,7 +159,9 @@ class RWKV:
             if isinstance(params.head, QuantLinear):
                 vp = params.head.w.shape[-1]
                 if vp % 128:
-                    params = pad_vocab(params, multiple=128)
+                    # 512 (not the minimal 128) for divisor-richness — see
+                    # the pad_to comment in load_file
+                    params = pad_vocab(params, multiple=512)
                     cfg = params.config
             params = signedize_params(params)
             self._step_fn = (

@@ -156,6 +156,15 @@ class InferencePool:
     def pending(self) -> int:
         return len(self._queue) + len(self._by_slot)
 
+    def abort_all(self) -> None:
+        """Drop every queued and in-flight request and free their slots
+        (used by servers to recover after a poisoned step)."""
+        self._queue.clear()
+        for slot in list(self._by_slot):
+            self._active[slot] = False
+            del self._by_slot[slot]
+            self._free.append(slot)
+
     def _admit(self):
         while self._queue and self._free:
             req = self._queue.pop(0)
