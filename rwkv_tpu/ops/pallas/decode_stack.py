@@ -93,11 +93,18 @@ def _bsum(x):
 def _decode_stack_kernel(
     *refs,
     n_att: int, n_ffn: int, tile: int, n_layer: int, n_head: int,
-    a8: bool, with_head: bool,
+    a8: bool, with_head: bool, fuse_embed: bool,
 ):
     # ----- unpack (positional refs: inputs, then outputs, then scratch) ----
+    ln0_w = ln0_b = None
+    if fuse_embed:
+        # scalar-prefetch token ref first, then the gathered emb row + ln0
+        _tok_ref, x_in, ln0_w, ln0_b = refs[:4]  # x_in: [1, 1, E] emb row
+        refs = refs[4:]
+    else:
+        x_in = refs[0]                           # [Bp, E] post-ln0 embedding
+        refs = refs[1:]
     (
-        x_in,                                   # [Bp, E] post-ln0 embedding
         ln1_w, ln1_b, ln2_w, ln2_b,             # [1, E]
         mix_k, mix_v, mix_r, fmix_k, fmix_r,    # [1, E]
         decay, bonus,                           # [1, T] att-tile blocks
@@ -109,8 +116,8 @@ def _decode_stack_kernel(
         wg, gr, go,                             # [1,E,T] i8 / [1,E] / [1,E]
         ffnk, fkr, fko,                         # [1,E,T] i8 / [1,E] / [1,E]
         ffnv, fvr, fvo,                         # [1,T,E] i8 / [1,T] / [1,T]
-    ) = refs[:38]
-    i = 38
+    ) = refs[:37]
+    i = 37
     if with_head:
         lnout_w, lnout_b, hw, hr, ho = refs[i:i + 5]   # [1,E]x2, [E,T] i8,
         i += 5                                          # [1,E], [1,E]
@@ -158,7 +165,13 @@ def _decode_stack_kernel(
     def _():
         @pl.when(l == 0)
         def _():
-            xcur[:] = x_in[:]
+            if fuse_embed:
+                # B == 1 path: ln0(emb row) broadcast over the Bp padding
+                # rows (all rows compute identically; caller keeps row 0)
+                row = _ln(x_in[0], ln0_w[0], ln0_b[0])  # [1, E]
+                xcur[:] = jnp.broadcast_to(row, xcur.shape)
+            else:
+                xcur[:] = x_in[:]
 
         xx = _ln(xcur[:], ln1_w[0], ln1_b[0])
         xy = xy_in[0]
@@ -345,17 +358,20 @@ def pick_head_tile(n_embd: int, tile: int, vocab_padded: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "head_tile", "interpret", "a8",
-                                    "with_head"))
+                                    "with_head", "fuse_embed"))
 def decode_stack(
-    x: jax.Array,            # [B, E] post-ln0 embedded token(s)
+    x: jax.Array,            # [B, E] post-ln0 embedded token(s); ignored
+                             # (pass zeros) when fuse_embed
     params: RWKVParams,      # quantized, SIGNED int8 weights
     state: WKVState,         # leaves [L, B, E]
     *,
+    token: jax.Array | None = None,   # [1] int32, only with fuse_embed
     tile: int | None = None,
     head_tile: int | None = None,
     interpret: bool = False,
     a8: bool = False,
     with_head: bool = False,
+    fuse_embed: bool = False,
 ):
     """Run all L blocks on x. Returns (new x [B, E], new state) — plus raw
     logits [B, Vp] as a third element when with_head=True (requires a
@@ -430,29 +446,58 @@ def decode_stack(
     def r3(a):
         return a.reshape(a.shape[0], 1, a.shape[1])
 
+    # Index maps take *a because the fuse_embed variant APPENDS a scalar-
+    # prefetch ref to every index-map signature (grid indices come first,
+    # then scalar refs — jax/_src/pallas/core.py get_grid_mapping); the
+    # grid step is always a[0].
     def row(width):
-        return pl.BlockSpec((1, 1, width), lambda t: (_l(t), 0, 0),
+        return pl.BlockSpec((1, 1, width), lambda *a: (_l(a[0]), 0, 0),
                             memory_space=pltpu.VMEM)
 
-    att_vec = pl.BlockSpec((1, 1, tile), lambda t: (_l(t), 0, j_att(t)),
+    att_vec = pl.BlockSpec((1, 1, tile),
+                           lambda *a: (_l(a[0]), 0, j_att(a[0])),
                            memory_space=pltpu.VMEM)
-    ffn_vec = pl.BlockSpec((1, 1, tile), lambda t: (_l(t), 0, j_ffn(t)),
+    ffn_vec = pl.BlockSpec((1, 1, tile),
+                           lambda *a: (_l(a[0]), 0, j_ffn(a[0])),
                            memory_space=pltpu.VMEM)
-    full_state = pl.BlockSpec((1, Bp, E), lambda t: (_l(t), 0, 0),
+    full_state = pl.BlockSpec((1, Bp, E), lambda *a: (_l(a[0]), 0, 0),
                               memory_space=pltpu.VMEM)
-    chan_state = pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+    chan_state = pl.BlockSpec((1, Bp, tile),
+                              lambda *a: (_l(a[0]), 0, j_att(a[0])),
                               memory_space=pltpu.VMEM)
 
     def colT(jm):
-        return pl.BlockSpec((1, E, tile), lambda t: (_l(t), 0, jm(t)),
+        return pl.BlockSpec((1, E, tile),
+                            lambda *a: (_l(a[0]), 0, jm(a[0])),
                             memory_space=pltpu.VMEM)
 
     def rowT(jm):
-        return pl.BlockSpec((1, tile, E), lambda t: (_l(t), jm(t), 0),
+        return pl.BlockSpec((1, tile, E),
+                            lambda *a: (_l(a[0]), jm(a[0]), 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [
-        pl.BlockSpec((Bp, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    if fuse_embed:
+        if B != 1:
+            raise ValueError("fuse_embed supports B == 1 (decode latency "
+                             "path); batch callers embed in XLA")
+        if token is None:
+            raise ValueError("fuse_embed requires the token array")
+        # emb row gathered straight from HBM by the scalar-prefetched
+        # token; emb viewed [Vp, 1, E] so the block's trailing dims (1, E)
+        # satisfy Mosaic's divisibility rule
+        x_specs = [
+            pl.BlockSpec((1, 1, E), lambda t, tok: (tok[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda *a: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda *a: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        x_specs = [
+            pl.BlockSpec((Bp, E), lambda *a: (0, 0), memory_space=pltpu.VMEM)
+        ]
+    in_specs = x_specs + [
         row(E), row(E), row(E), row(E),                   # ln1/ln2 w,b
         row(E), row(E), row(E), row(E), row(E),           # mixes
         att_vec, att_vec,                                  # decay, bonus
@@ -465,16 +510,16 @@ def decode_stack(
         rowT(j_ffn), ffn_vec, ffn_vec,                    # ffnv, fvr, fvo
     ]
     out_specs = [
-        pl.BlockSpec((Bp, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, E), lambda t: (_l(t), 0, 0),
+        pl.BlockSpec((Bp, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bp, E), lambda *a: (_l(a[0]), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, E), lambda t: (_l(t), 0, 0),
+        pl.BlockSpec((1, Bp, E), lambda *a: (_l(a[0]), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+        pl.BlockSpec((1, Bp, tile), lambda *a: (_l(a[0]), 0, j_att(a[0])),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+        pl.BlockSpec((1, Bp, tile), lambda *a: (_l(a[0]), 0, j_att(a[0])),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+        pl.BlockSpec((1, Bp, tile), lambda *a: (_l(a[0]), 0, j_att(a[0])),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
@@ -482,8 +527,13 @@ def decode_stack(
         for shp in [(Bp, E)] + [(L, Bp, E)] * 5
     ]
 
-    operands = [
-        x,
+    if fuse_embed:
+        r2e = lambda a: a.reshape(1, a.shape[0])  # noqa: E731
+        x_ops = [params.emb.reshape(params.emb.shape[0], 1, E),
+                 r2e(params.ln0.weight), r2e(params.ln0.bias)]
+    else:
+        x_ops = [x]
+    operands = x_ops + [
         r3(params.ln1.weight), r3(params.ln1.bias),
         r3(params.ln2.weight), r3(params.ln2.bias),
         r3(att.mix_k), r3(att.mix_v), r3(att.mix_r),
@@ -504,12 +554,12 @@ def decode_stack(
         r2 = lambda a: a.reshape(1, a.shape[0])  # noqa: E731
         in_specs += [
             # ln_out w/b, head scale/offset: resident rows
-            pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, head_tile), lambda t: (0, j_head(t)),
+            pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, head_tile), lambda *a: (0, j_head(a[0])),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
         ]
         operands += [
             r2(params.ln_out.weight), r2(params.ln_out.bias),
@@ -517,7 +567,7 @@ def decode_stack(
         ]
         # insert head weights between ln_out vecs in order matching kernel
         out_specs.append(
-            pl.BlockSpec((Bp, head_tile), lambda t: (0, j_head(t)),
+            pl.BlockSpec((Bp, head_tile), lambda *a: (0, j_head(a[0])),
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((Bp, n_head * head_tile), f32))
@@ -540,22 +590,42 @@ def decode_stack(
     kernel = functools.partial(
         _decode_stack_kernel,
         n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L, n_head=n_head,
-        a8=a8, with_head=with_head,
+        a8=a8, with_head=with_head, fuse_embed=fuse_embed,
     )
-    outs = pl.pallas_call(
-        kernel,
-        grid=(L * S + n_head,),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        scratch_shapes=scratch,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * weight_bytes,
-            bytes_accessed=weight_bytes,
-            transcendentals=L * Bp * (4 * E + F),
-        ),
-    )(*operands)
+    cost = pl.CostEstimate(
+        flops=2 * Bp * weight_bytes,
+        bytes_accessed=weight_bytes,
+        transcendentals=L * Bp * (4 * E + F),
+    )
+    if fuse_embed:
+        # token rides in as a scalar-prefetch arg: the emb row's block
+        # index depends on its value, so the gather happens inside the
+        # kernel's own DMA schedule (no separate XLA gather dispatch).
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L * S + n_head,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=tuple(out_shape),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(jnp.asarray(token, jnp.int32), *operands)
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(L * S + n_head,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=scratch,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(*operands)
 
     y, xy, dd, aa, bb, pp = outs[:6]
     new_state = WKVState(xy=xy[:, :B], aa=aa[:, :B], bb=bb[:, :B],
@@ -570,11 +640,12 @@ def forward_step_fused(
     tile: int | None = None, interpret: bool = False, head_a8: bool = False,
     a8: bool = False,
 ) -> Tuple[jax.Array, WKVState]:
-    """Full decode step on the fused stack kernel. Embed+ln0 stays in XLA
-    (a gather + cheap elementwise); the L-layer body runs as one kernel,
-    with ln_out + the quantized head fused into the same launch whenever
-    the padded vocab divides the tile (models.rwkv4.pad_vocab). Otherwise
-    the head falls back to the standalone mm8 kernel.
+    """Full decode step on the fused stack kernel. The L-layer body, ln_out
+    and the quantized head run as one kernel whenever the padded vocab is
+    lane-aligned (models.rwkv4.pad_vocab); at B == 1 even the embedding
+    gather + ln0 fold in (token rides as a scalar-prefetch arg), making
+    the entire token -> logits step a single launch. Otherwise embed/ln0
+    stay in XLA and/or the head falls back to the standalone mm8 kernel.
 
     Drop-in signature parity with models.rwkv4.forward_step for scalar or
     [B] tokens (state leaves [L, E] or [L, B, E]).
@@ -591,25 +662,26 @@ def forward_step_fused(
         WKVState(*(s[:, None] for s in state)) if unbatched else state
     )  # [L, 1, E]
 
-    x = params.emb[tok].astype(jnp.float32)  # [B, E]
-    x = layer_norm(x, params.ln0.weight, params.ln0.bias)
-
-    E = x.shape[-1]
-    ktile = tile if tile is not None else pick_tile(E)
     # The head tile is decoupled from the layer tile (pick_head_tile finds
     # a 128-multiple divisor of the padded vocab), so fusability only needs
     # a lane-aligned vocab.
-    del ktile
     head_fusable = (
         isinstance(params.head, QuantLinear)
         and params.head.w.dtype == jnp.int8
         and params.head.w.shape[-1] % 128 == 0
     )
+    embed_fusable = head_fusable and tok.shape[0] == 1
+
+    if not embed_fusable:
+        x = params.emb[tok].astype(jnp.float32)  # [B, E]
+        x = layer_norm(x, params.ln0.weight, params.ln0.bias)
+    else:
+        x = jnp.zeros((1, params.emb.shape[1]), jnp.float32)  # placeholder
 
     if head_fusable:
         y, new_state, logits = decode_stack(
-            x, params, st, tile=tile, interpret=interpret, a8=a8,
-            with_head=True,
+            x, params, st, token=tok, tile=tile, interpret=interpret, a8=a8,
+            with_head=True, fuse_embed=embed_fusable,
         )
     else:
         y, new_state = decode_stack(x, params, st, tile=tile,
