@@ -118,8 +118,17 @@ def main():
         cfg = params.config
     else:
         cfg = getattr(RWKVConfig, f"rwkv4_{name}")()
-        # on-device fabrication: no multi-GB host->device transfer
-        params = random_quantized_params_device(cfg, seed=0)
+        # on-device fabrication: no multi-GB host->device transfer;
+        # fabricate directly in the kernel's contiguous-block layout when
+        # benching the fused kernel (avoids a transient 2x-family copy)
+        impl0 = os.environ.get("RWKV_TPU_BENCH_IMPL", "fused")
+        ptile = None
+        if impl0 in ("fused", "fused_a8"):
+            from rwkv_tpu.ops.pallas.decode_stack import pick_tile
+
+            tile_env0 = os.environ.get("RWKV_TPU_BENCH_TILE")
+            ptile = int(tile_env0) if tile_env0 else pick_tile(cfg.n_embd)
+        params = random_quantized_params_device(cfg, seed=0, pretile=ptile)
 
     state = init_state(cfg, (batch,)) if batch > 1 else init_state(cfg)
 
@@ -135,9 +144,12 @@ def main():
         import functools
 
         from rwkv_tpu.models.rwkv4 import signedize_params
-        from rwkv_tpu.ops.pallas.decode_stack import forward_step_fused
+        from rwkv_tpu.ops.pallas.decode_stack import (forward_step_fused,
+                                                      pretile_params)
 
         params = signedize_params(params)
+        if params.att.key.w.ndim != 4:  # .bin path: not yet pretiled
+            params = pretile_params(params, tile=tile)
         step_fn = functools.partial(forward_step_fused, tile=tile,
                                     a8=(impl == "fused_a8"))
     else:

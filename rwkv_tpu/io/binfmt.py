@@ -54,6 +54,7 @@ def read_bin(
     *,
     put: Optional[Callable[[str, np.ndarray], jax.Array]] = None,
     pad_vocab_to: Optional[int] = None,
+    pretile: Optional[int] = None,
 ) -> RWKVParams:
     """Load a reference-format .bin into RWKVParams (u8 QuantLinear weights).
 
@@ -64,6 +65,12 @@ def read_bin(
 
     `pad_vocab_to`: pad emb rows / head columns up to this multiple (see
     models.rwkv4.pad_vocab) *before* placement, so the vocab dim shards.
+
+    `pretile`: re-layout the column-sliced weight families HOST-SIDE into
+    the decode kernel's contiguous-block format [L, O/t, E, t]
+    (ops.pallas.decode_stack.pretile_params) before placement — the
+    device never holds both layouts, so even a 14B pretile fits; host
+    transient stays one tensor.
     """
     cfg = read_header(path)
     t = _mmap_tensors(path, cfg)
@@ -80,10 +87,18 @@ def read_bin(
     def f32(name):
         return put(name, np.ascontiguousarray(t[name], dtype=np.float32))
 
+    COL_FAMILIES = ("km", "vm", "rm", "ffn_r", "ffn_k")
+
     def qlin(wname, rname, oname) -> QuantLinear:
         w = t[wname]
         if wname == "head" and vpad:
             w = np.pad(np.asarray(w), ((0, 0), (0, vpad)))
+        if pretile and wname in COL_FAMILIES:
+            Lw, K, O = w.shape
+            w = np.ascontiguousarray(
+                np.asarray(w).reshape(Lw, K, O // pretile, pretile)
+                .transpose(0, 2, 1, 3)
+            )
         return QuantLinear(
             w=put(wname, np.ascontiguousarray(w)),
             scale=f32(rname),

@@ -408,15 +408,15 @@ def random_quantized_params_np(
         ln2=LNParams(f32(np.ones((L, E))), f32(np.zeros((L, E)))),
         att=AttParams(
             mix_k=mix((L, E)), mix_v=mix((L, E)), mix_r=mix((L, E)),
-            key=qrand((L, E, E)), value=qrand((L, E, E)),
-            receptance=qrand((L, E, E)), output=qrand((L, E, E)),
+            key=qrand((L, E, E), col=True), value=qrand((L, E, E), col=True),
+            receptance=qrand((L, E, E), col=True), output=qrand((L, E, E)),
             decay=f32(-np.exp(rng.normal(size=(L, E)))),
             bonus=f32(rng.normal(size=(L, E)) * 0.5),
         ),
         ffn=FFNParams(
             mix_k=mix((L, E)), mix_r=mix((L, E)),
-            key=qrand((L, E, F)), value=qrand((L, F, E)),
-            receptance=qrand((L, E, E)),
+            key=qrand((L, E, F), col=True), value=qrand((L, F, E)),
+            receptance=qrand((L, E, E), col=True),
         ),
         ln_out=LNParams(f32(np.ones(E)), f32(np.zeros(E))),
         head=qrand((E, Vp)),
@@ -454,11 +454,17 @@ def signedize_params(params: RWKVParams) -> RWKVParams:
 
 def random_quantized_params_device(
     cfg: RWKVConfig, seed: int = 0, pad_multiple: int | None = 512,
-    signed: bool = True,
+    signed: bool = True, pretile: int | None = None,
 ) -> RWKVParams:
     """Random quantized params generated ON-DEVICE (jit'd PRNG per leaf) —
     zero bulk host->device transfer. For benching big models over slow
-    links where even fabricating 7GB host-side and shipping it is minutes."""
+    links where even fabricating 7GB host-side and shipping it is minutes.
+
+    pretile: fabricate the column-sliced weight families directly in the
+    decode kernel's contiguous-block layout [L, O/t, E, t]
+    (ops.pallas.decode_stack.pretile_params) — random content makes the
+    permutation irrelevant, and generating in-layout avoids the transient
+    2x-family HBM copy that would OOM a 14B pretile on a 16GB chip."""
     E, L, V, F = cfg.n_embd, cfg.n_layer, cfg.vocab_size, cfg.n_ffn
     Vp = V
     if pad_multiple:
@@ -472,13 +478,17 @@ def random_quantized_params_device(
             return jax.random.randint(key, shape, -128, 128, dtype=jnp.int8)
         return jax.random.randint(key, shape, 0, 256, dtype=jnp.uint8)
 
-    def qrand(shape):
+    def qrand(shape, col=False):
         in_dim = shape[-2]
         span = 8.0 * in_dim ** -0.5
         scale = jnp.full(shape[:-1], span / 255.0, jnp.float32)
         off0 = -span / 2.0 + (128.0 * span / 255.0 if signed else 0.0)
         offset = jnp.full(shape[:-1], off0, jnp.float32)
-        return QuantLinear(w=qw(next(kit), shape), scale=scale, offset=offset)
+        wshape = shape
+        if col and pretile:
+            L_, K, O = shape
+            wshape = (L_, O // pretile, K, pretile)
+        return QuantLinear(w=qw(next(kit), wshape), scale=scale, offset=offset)
 
     def mix(shape):
         return jax.random.uniform(next(kit), shape, minval=0.1, maxval=0.9)
@@ -499,15 +509,15 @@ def random_quantized_params_device(
         ln2=LNParams(ones(L, E), zeros(L, E)),
         att=AttParams(
             mix_k=mix((L, E)), mix_v=mix((L, E)), mix_r=mix((L, E)),
-            key=qrand((L, E, E)), value=qrand((L, E, E)),
-            receptance=qrand((L, E, E)), output=qrand((L, E, E)),
+            key=qrand((L, E, E), col=True), value=qrand((L, E, E), col=True),
+            receptance=qrand((L, E, E), col=True), output=qrand((L, E, E)),
             decay=-jnp.exp(jax.random.normal(next(kit), (L, E))),
             bonus=jax.random.normal(next(kit), (L, E)) * 0.5,
         ),
         ffn=FFNParams(
             mix_k=mix((L, E)), mix_r=mix((L, E)),
-            key=qrand((L, E, F)), value=qrand((L, F, E)),
-            receptance=qrand((L, E, E)),
+            key=qrand((L, E, F), col=True), value=qrand((L, F, E)),
+            receptance=qrand((L, E, E), col=True),
         ),
         ln_out=LNParams(ones(E), zeros(E)),
         head=qrand((E, Vp)),

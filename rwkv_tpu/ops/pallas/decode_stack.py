@@ -93,7 +93,7 @@ def _bsum(x):
 def _decode_stack_kernel(
     *refs,
     n_att: int, n_ffn: int, tile: int, n_layer: int, n_head: int,
-    a8: bool, with_head: bool, fuse_embed: bool,
+    a8: bool, with_head: bool, fuse_embed: bool, pretiled: bool,
 ):
     # ----- unpack (positional refs: inputs, then outputs, then scratch) ----
     ln0_w = ln0_b = None
@@ -160,6 +160,11 @@ def _decode_stack_kernel(
     OFFK, OFFV, OFFR, OUTO, FFK, FFR, FFV, HOF = range(8)
     SK, SV, SR, SFK, SFR, SH = range(6)
 
+    def w2(r):
+        """[E, tile] view of a column-sliced weight block (4-D when the
+        params were pretile_params'd into contiguous blocks)."""
+        return r[0, 0] if pretiled else r[0]
+
     # ------------------------------------------------------------- att init
     @pl.when(s == 0)
     def _():
@@ -197,13 +202,13 @@ def _decode_stack_kernel(
     @pl.when(s < n_att)
     def _():
         if a8:
-            k_t = _dot_s8(q_k[:], km[0]) * scls[SK][:, :1] + offs[OFFK][:, :1]
-            v_t = _dot_s8(q_v[:], vm[0]) * scls[SV][:, :1] + offs[OFFV][:, :1]
-            r_t = _dot_s8(q_r[:], rm[0]) * scls[SR][:, :1] + offs[OFFR][:, :1]
+            k_t = _dot_s8(q_k[:], w2(km)) * scls[SK][:, :1] + offs[OFFK][:, :1]
+            v_t = _dot_s8(q_v[:], w2(vm)) * scls[SV][:, :1] + offs[OFFV][:, :1]
+            r_t = _dot_s8(q_r[:], w2(rm)) * scls[SR][:, :1] + offs[OFFR][:, :1]
         else:
-            k_t = _dot(xs_k[:], km[0]) + offs[OFFK][:, :1]
-            v_t = _dot(xs_v[:], vm[0]) + offs[OFFV][:, :1]
-            r_t = _dot(xs_r[:], rm[0]) + offs[OFFR][:, :1]
+            k_t = _dot(xs_k[:], w2(km)) + offs[OFFK][:, :1]
+            v_t = _dot(xs_v[:], w2(vm)) + offs[OFFV][:, :1]
+            r_t = _dot(xs_r[:], w2(rm)) + offs[OFFR][:, :1]
 
         w_t = decay[0]
         u_t = bonus[0]
@@ -264,16 +269,16 @@ def _decode_stack_kernel(
         @pl.when(j < n_att)
         def _():
             if a8:
-                g_t = (_dot_s8(q_fr[:], wg[0]) * scls[SFR][:, :1]
+                g_t = (_dot_s8(q_fr[:], w2(wg)) * scls[SFR][:, :1]
                        + offs[FFR][:, :1])
             else:
-                g_t = _dot(xs_fr[:], wg[0]) + offs[FFR][:, :1]
+                g_t = _dot(xs_fr[:], w2(wg)) + offs[FFR][:, :1]
             gate[:, pl.ds(j * tile, tile)] = 1.0 / (1.0 + jnp.exp(-g_t))
 
         if a8:
-            h_t = _dot_s8(q_fk[:], ffnk[0]) * scls[SFK][:, :1] + offs[FFK][:, :1]
+            h_t = _dot_s8(q_fk[:], w2(ffnk)) * scls[SFK][:, :1] + offs[FFK][:, :1]
         else:
-            h_t = _dot(xs_fk[:], ffnk[0]) + offs[FFK][:, :1]
+            h_t = _dot(xs_fk[:], w2(ffnk)) + offs[FFK][:, :1]
         h_t = jnp.maximum(h_t, 0.0)
         h_t = h_t * h_t
         if a8:
@@ -340,6 +345,51 @@ def pick_tile(n_embd: int, preferred: int = 512,
     raise ValueError(f"n_embd {n_embd} not divisible by any 128-multiple tile")
 
 
+def pretile_params(params: RWKVParams, tile: int | None = None) -> RWKVParams:
+    """One-time physical re-layout of the five column-sliced weight families
+    (att k/v/r, ffn receptance, ffn key): [L, E, O] -> [L, O/t, E, t], so
+    every kernel block is ONE CONTIGUOUS HBM read.
+
+    Why: a (1, E, tile) block of a row-major [L, E, O] array DMAs as E
+    separate `tile`-byte rows. At tile=128 (E>=4096 models) those 128-byte
+    bursts cap streaming at ~750 GB/s on v5e; contiguous blocks measured
+    ~900 GB/s (169M's full-width tiles). The row-sliced families
+    (att.output, ffn.value) already read contiguously and stay 3-D.
+
+    decode_stack detects the 4-D weights and requires its `tile` to match.
+    Prefill/XLA paths handle 4-D weights via ops.quant.qmatmul's einsum.
+    """
+    import dataclasses
+
+    from rwkv_tpu.ops.quant import QuantLinear
+
+    E = params.emb.shape[1]
+    if tile is None:
+        tile = pick_tile(E)
+
+    def colt(lin):
+        if not isinstance(lin, QuantLinear) or lin.w.ndim != 3:
+            return lin
+        L_, K, O = lin.w.shape
+        w4 = jnp.transpose(lin.w.reshape(L_, K, O // tile, tile), (0, 2, 1, 3))
+        return QuantLinear(w=w4, scale=lin.scale, offset=lin.offset)
+
+    return dataclasses.replace(
+        params,
+        att=dataclasses.replace(
+            params.att,
+            key=colt(params.att.key),
+            value=colt(params.att.value),
+            receptance=colt(params.att.receptance),
+        ),
+        ffn=dataclasses.replace(
+            params.ffn,
+            key=colt(params.ffn.key),
+            receptance=colt(params.ffn.receptance),
+        ),
+    )
+
+
 def pick_head_tile(n_embd: int, tile: int, vocab_padded: int,
                    vmem_budget: int = 15 * 1024 * 1024) -> int:
     """Widest 128-multiple divisor of the padded vocab whose double-buffered
@@ -391,9 +441,21 @@ def decode_stack(
         )
     L = att.decay.shape[0]
     B, E = x.shape
-    F = ffn.key.w.shape[-1]
-    if tile is None:
-        tile = pick_tile(E)
+    pretiled = att.key.w.ndim == 4
+    if pretiled:
+        # pretile_params layout: [L, O/t, E, t] — tile is baked in
+        pt = att.key.w.shape[-1]
+        if tile is None:
+            tile = pt
+        elif tile != pt:
+            raise ValueError(
+                f"params were pretiled for tile={pt}, got tile={tile}"
+            )
+        F = ffn.key.w.shape[1] * ffn.key.w.shape[3]
+    else:
+        F = ffn.key.w.shape[-1]
+        if tile is None:
+            tile = pick_tile(E)
     assert E % tile == 0 and F % tile == 0, (E, F, tile)
     n_att, n_ffn = E // tile, F // tile
     assert n_ffn >= n_att, (
@@ -467,6 +529,11 @@ def decode_stack(
                               memory_space=pltpu.VMEM)
 
     def colT(jm):
+        if pretiled:
+            # contiguous [E, tile] blocks: one linear DMA per block
+            return pl.BlockSpec((1, 1, E, tile),
+                                lambda *a: (_l(a[0]), jm(a[0]), 0, 0),
+                                memory_space=pltpu.VMEM)
         return pl.BlockSpec((1, E, tile),
                             lambda *a: (_l(a[0]), 0, jm(a[0])),
                             memory_space=pltpu.VMEM)
@@ -590,7 +657,7 @@ def decode_stack(
     kernel = functools.partial(
         _decode_stack_kernel,
         n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L, n_head=n_head,
-        a8=a8, with_head=with_head, fuse_embed=fuse_embed,
+        a8=a8, with_head=with_head, fuse_embed=fuse_embed, pretiled=pretiled,
     )
     cost = pl.CostEstimate(
         flops=2 * Bp * weight_bytes,

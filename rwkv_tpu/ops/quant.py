@@ -128,12 +128,25 @@ def qmatmul(
     # passes and the rate advantage with it.
     prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    main = jax.lax.dot_general(
-        xs,
-        q.w.astype(compute_dtype),
-        dimension_numbers=(((x.ndim - 1,), (q.w.ndim - 2,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )
+    w = q.w
+    # regular layout: w has one more dim than scale ([..., in, out] vs
+    # [..., in]); pretile_params adds a tile-block dim ([..., O/t, in, t])
+    if w.ndim == q.scale.ndim + 2:
+        # decode_stack.pretile_params layout [..., O/t, in, t]: contract
+        # over `in` with the tile axes as batch/free dims, then flatten —
+        # no re-transpose materialization.
+        nt, t_ = w.shape[-3], w.shape[-1]
+        main = jnp.einsum(
+            "...i,...nit->...nt", xs, w.astype(compute_dtype),
+            precision=prec, preferred_element_type=jnp.float32,
+        ).reshape(*x.shape[:-1], nt * t_)
+    else:
+        main = jax.lax.dot_general(
+            xs,
+            w.astype(compute_dtype),
+            dimension_numbers=(((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
     off = jnp.einsum("...i,...i->...", x, q.offset)[..., None]
     return (main + off).astype(jnp.float32)

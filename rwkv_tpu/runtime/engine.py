@@ -97,6 +97,15 @@ class RWKV:
         # whose rich divisor set lets pick_head_tile choose wide head tiles
         # (128-padding gives 50304 = 128*3*131 — widest usable tile 384).
         pad_to = 512
+        # Host-side contiguous-block re-layout at read time when the fused
+        # kernel will run: the device then never holds both layouts (a 14B
+        # on-device pretile copy would OOM a 16GB chip).
+        pretile = None
+        if jax.default_backend() not in ("cpu",) and self._sharding is None:
+            from rwkv_tpu.io.binfmt import read_header
+            from rwkv_tpu.ops.pallas.decode_stack import pick_tile
+
+            pretile = pick_tile(read_header(path).n_embd)
         if self._sharding is not None:
             import math
 
@@ -105,7 +114,8 @@ class RWKV:
             mesh = getattr(self._sharding, "mesh", self._sharding)
             put = make_put(self._sharding)
             pad_to = math.lcm(512, 128 * mesh.shape["model"])  # TP-divisible
-        self.load_params(read_bin(path, put=put, pad_vocab_to=pad_to))
+        self.load_params(
+            read_bin(path, put=put, pad_vocab_to=pad_to, pretile=pretile))
 
     def _make_jits(self) -> None:
         step = self._step_fn
@@ -151,7 +161,8 @@ class RWKV:
             )
         if use_fused:
             from rwkv_tpu.models.rwkv4 import pad_vocab, signedize_params
-            from rwkv_tpu.ops.pallas.decode_stack import forward_step_fused
+            from rwkv_tpu.ops.pallas.decode_stack import (
+                forward_step_fused, pretile_params)
 
             # Guarantee the head fuses into the kernel: the head tile is any
             # 128-multiple divisor of the padded vocab (pick_head_tile), so
@@ -163,7 +174,13 @@ class RWKV:
                     # the pad_to comment in load_file
                     params = pad_vocab(params, multiple=512)
                     cfg = params.config
+            # contiguous-block weight layout: one linear DMA per kernel
+            # block (see decode_stack.pretile_params); prefill handles the
+            # 4-D weights via qmatmul's einsum path. Skip if the loader
+            # already pretiled host-side (read_bin(pretile=...)).
             params = signedize_params(params)
+            if params.att.key.w.ndim != 4:
+                params = pretile_params(params)
             self._step_fn = (
                 partial(forward_step_fused, a8=True) if a8
                 else forward_step_fused

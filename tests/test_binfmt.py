@@ -98,3 +98,27 @@ def test_custom_put_sees_every_model_tensor(tmp_path, small_model):
     assert "km" in seen and "head" in seen and "ln0.w" in seen
     # scratch buffers must not be loaded
     assert not (set(seen) & registry.SCRATCH)
+
+
+def test_read_bin_pretile_matches(tmp_path, small_model):
+    """read_bin(pretile=t) host-side re-layout == on-device pretile_params."""
+    import jax.numpy as jnp
+
+    from rwkv_tpu.io.binfmt import read_bin, write_bin
+    from rwkv_tpu.models.rwkv4 import forward_step, init_state
+    from rwkv_tpu.ops.pallas.decode_stack import pretile_params
+
+    cfg, params = small_model
+    path = str(tmp_path / "m.bin")
+    write_bin(path, params)
+    a = read_bin(path, pretile=8)
+    b = pretile_params(read_bin(path), tile=8)
+    assert a.att.key.w.ndim == 4
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # and the XLA forward consumes the 4-D layout identically
+    st = init_state(params.config)
+    l0, _ = forward_step(read_bin(path), jnp.asarray(3), st)
+    l1, _ = forward_step(a, jnp.asarray(3), st)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-5, atol=1e-5)

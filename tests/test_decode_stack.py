@@ -151,3 +151,28 @@ def test_engine_repads_unaligned_vocab():
     assert eng._true_vocab == 201
     lb = np.asarray(eng.params.logit_bias)
     assert (lb[:201] == 0).all() and (lb[201:] < -1e8).all()
+
+
+def test_pretiled_matches_oracle(model):
+    """Contiguous-block weight layout (pretile_params): same math, and the
+    prefill/XLA path must also consume the 4-D weights (qmatmul einsum)."""
+    from rwkv_tpu.models.rwkv4 import forward_seq
+    from rwkv_tpu.ops.pallas.decode_stack import pretile_params
+
+    cfg, params = model
+    pt = pretile_params(params, tile=128)
+    # fused kernel on pretiled weights
+    state = init_state(cfg)
+    l_ref, s_ref = forward_step(params, jnp.asarray(7), state)
+    l_pt, s_pt = forward_step_fused(pt, jnp.asarray(7), state, interpret=True)
+    np.testing.assert_allclose(np.asarray(l_pt), np.asarray(l_ref),
+                               rtol=1e-4, atol=1e-4)
+    # XLA sequence path on the same pretiled params (engine prefill reuse)
+    toks = jnp.asarray([3, 1, 4], jnp.int32)
+    lg_ref, st_ref = forward_seq(params, toks, init_state(cfg), parallel=True)
+    lg_pt, st_pt = forward_seq(pt, toks, init_state(cfg), parallel=True)
+    np.testing.assert_allclose(np.asarray(lg_pt), np.asarray(lg_ref),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(st_pt, st_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
