@@ -103,6 +103,9 @@ def main():
     steps = int(os.environ.get("RWKV_TPU_BENCH_STEPS", "128"))
     batch = int(os.environ.get("RWKV_TPU_BENCH_BATCH", "1"))
     bin_path = os.environ.get("RWKV_TPU_BENCH_BIN")
+    impl = os.environ.get("RWKV_TPU_BENCH_IMPL", "fused")
+    tile_env = os.environ.get("RWKV_TPU_BENCH_TILE")
+    tile = int(tile_env) if tile_env else None
 
     from rwkv_tpu.models.config import RWKVConfig
     from rwkv_tpu.models.rwkv4 import (
@@ -121,13 +124,11 @@ def main():
         # on-device fabrication: no multi-GB host->device transfer;
         # fabricate directly in the kernel's contiguous-block layout when
         # benching the fused kernel (avoids a transient 2x-family copy)
-        impl0 = os.environ.get("RWKV_TPU_BENCH_IMPL", "fused")
         ptile = None
-        if impl0 in ("fused", "fused_a8"):
+        if impl in ("fused", "fused_a8"):
             from rwkv_tpu.ops.pallas.decode_stack import pick_tile
 
-            tile_env0 = os.environ.get("RWKV_TPU_BENCH_TILE")
-            ptile = int(tile_env0) if tile_env0 else pick_tile(cfg.n_embd)
+            ptile = tile if tile else pick_tile(cfg.n_embd)
         params = random_quantized_params_device(cfg, seed=0, pretile=ptile)
 
     state = init_state(cfg, (batch,)) if batch > 1 else init_state(cfg)
@@ -137,9 +138,6 @@ def main():
         bench_prefill(cfg, params, name)
         return
 
-    impl = os.environ.get("RWKV_TPU_BENCH_IMPL", "fused")
-    tile_env = os.environ.get("RWKV_TPU_BENCH_TILE")
-    tile = int(tile_env) if tile_env else None
     if impl in ("fused", "fused_a8"):
         import functools
 

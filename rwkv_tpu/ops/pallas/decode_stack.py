@@ -681,7 +681,13 @@ def decode_stack(
             out_shape=tuple(out_shape),
             interpret=interpret,
             cost_estimate=cost,
-        )(jnp.asarray(token, jnp.int32), *operands)
+        )(
+            # clamp like XLA's gather would: an out-of-range id must not
+            # become an out-of-bounds block index (undefined behavior)
+            jnp.clip(jnp.asarray(token, jnp.int32), 0,
+                     params.emb.shape[0] - 1),
+            *operands,
+        )
     else:
         outs = pl.pallas_call(
             kernel,

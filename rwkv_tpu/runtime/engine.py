@@ -97,15 +97,20 @@ class RWKV:
         # whose rich divisor set lets pick_head_tile choose wide head tiles
         # (128-padding gives 50304 = 128*3*131 — widest usable tile 384).
         pad_to = 512
-        # Host-side contiguous-block re-layout at read time when the fused
-        # kernel will run: the device then never holds both layouts (a 14B
-        # on-device pretile copy would OOM a 16GB chip).
+        # Host-side contiguous-block re-layout at read time — ONLY when the
+        # fused kernel will actually run (mirror load_params' use_fused
+        # gate), so odd-shaped checkpoints still load and fall back to the
+        # XLA path, and nothing gets re-laid-out for a kernel that never
+        # executes. Read-time (vs on-device pretile_params) matters because
+        # the device never holds both layouts — a 14B copy would OOM 16GB.
         pretile = None
         if jax.default_backend() not in ("cpu",) and self._sharding is None:
             from rwkv_tpu.io.binfmt import read_header
             from rwkv_tpu.ops.pallas.decode_stack import pick_tile
 
-            pretile = pick_tile(read_header(path).n_embd)
+            hdr = read_header(path)
+            if hdr.n_embd % 256 == 0 and hdr.n_ffn % 256 == 0:
+                pretile = pick_tile(hdr.n_embd)
         if self._sharding is not None:
             import math
 

@@ -176,3 +176,16 @@ def test_pretiled_matches_oracle(model):
     for a, b in zip(st_pt, st_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fused_embed_clamps_oob_token(model):
+    """Out-of-range token ids must clamp (XLA gather semantics), not read
+    out-of-bounds through the scalar-prefetch block index."""
+    cfg, params = model
+    state = init_state(cfg)
+    l_hi, _ = forward_step_fused(params, jnp.asarray(10_000_000), state,
+                                 interpret=True)
+    l_last, _ = forward_step_fused(params, jnp.asarray(cfg.vocab_size - 1),
+                                   state, interpret=True)
+    np.testing.assert_allclose(np.asarray(l_hi), np.asarray(l_last),
+                               rtol=1e-5, atol=1e-5)
