@@ -362,12 +362,17 @@ def init_params(
 
 
 def random_quantized_params_np(
-    cfg: RWKVConfig, seed: int = 0, pad_multiple: int | None = 512
+    cfg: RWKVConfig, seed: int = 0, pad_multiple: int | None = 512,
+    pretile: int | None = None,
 ) -> RWKVParams:
     """Random u8-quantized params built entirely host-side in numpy — one
     device_put per leaf at the end. Use for benches on remote/tunneled
     devices where generating dense weights on-device and pulling them back
-    for quantization would round-trip gigabytes."""
+    for quantization would round-trip gigabytes.
+
+    pretile: fabricate column-sliced families directly in the decode
+    kernel's contiguous-block layout (see random_quantized_params_device).
+    """
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -376,14 +381,18 @@ def random_quantized_params_np(
     if pad_multiple:
         Vp = ((V + pad_multiple - 1) // pad_multiple) * pad_multiple
 
-    def qrand(shape):
+    def qrand(shape, col=False):
         """Directly fabricate a plausible QuantLinear: u8 weights + scales
         sized like a quantized N(0, 1/sqrt(in)) matrix — no f32 detour."""
         in_dim = shape[-2]
-        w = rng.integers(0, 256, size=shape, dtype=np.uint8)
         span = 8.0 * in_dim ** -0.5  # ~±4 sigma
         scale = np.full(shape[:-1], span / 255.0, np.float32)
         offset = np.full(shape[:-1], -span / 2.0, np.float32)
+        wshape = shape
+        if col and pretile:
+            L_, K, O = shape
+            wshape = (L_, O // pretile, K, pretile)
+        w = rng.integers(0, 256, size=wshape, dtype=np.uint8)
         return QuantLinear(w=jnp.asarray(w), scale=jnp.asarray(scale),
                            offset=jnp.asarray(offset))
 
