@@ -174,7 +174,9 @@ def make_handler(eng, lock, runner=None):
                 else:
                     with lock:  # single model; serialize requests
                         eng.reset_state(0)
-                        out = eng.generate(prompt, **kw)
+                        # stateless per-request: chunked decode amortizes
+                        # dispatch latency 8x with identical token streams
+                        out = eng.generate(prompt, chunk=8, **kw)
                 return self._json(200, {"completion": out,
                                         "tokens": len(eng.tokenizer.encode(out))})
 
@@ -210,7 +212,7 @@ def make_handler(eng, lock, runner=None):
                 else:
                     with lock:
                         eng.reset_state(0)
-                        eng.generate(prompt, on_text=emit, **kw)
+                        eng.generate(prompt, on_text=emit, chunk=4, **kw)
             except RuntimeError as e:
                 chunk(b"data: " + json.dumps({"error": str(e)}).encode()
                       + b"\n\n")

@@ -132,7 +132,21 @@ class RWKV:
             nxt = typical(sub, logits, temp=temp, tau=tau).astype(jnp.int32)
             return nxt, state, key
 
+        def decode_k(params, token, state, key, temp, tau, ban, *, k):
+            # k sampled steps in ONE device program: same key-split order
+            # as k single decode() calls, so token streams are identical.
+            def body(carry, _):
+                tok, st, ky = carry
+                tok, st, ky = decode(params, tok, st, ky, temp, tau, ban)
+                return (tok, st, ky), tok
+
+            (_, state, key), toks = jax.lax.scan(
+                body, (token, state, key), None, length=k
+            )
+            return toks, state, key
+
         self._jit_step = jax.jit(step)
+        self._jit_decode_chunk = jax.jit(decode_k, static_argnames=("k",))
         self._jit_prefill = jax.jit(partial(
             forward_seq, parallel=True, compute_dtype=self.prefill_dtype))
         self._jit_decode = jax.jit(decode)
@@ -404,13 +418,22 @@ class RWKV:
         stop: Optional[Sequence[str]] = None,
         on_text: Optional[Callable[[str], None]] = None,
         first_token: Optional[int] = None,
+        chunk: int = 1,
     ) -> str:
         """Prompt-and-generate with typical sampling (the reference apps' loop,
         examples/terminalchat/chat.cpp:75-88, minus the per-token D2H).
 
         first_token: when continuing from a restored state with no new prompt,
         the token that produced that state's last update (so decoding resumes
-        exactly where the snapshot left off)."""
+        exactly where the snapshot left off).
+
+        chunk: decode this many tokens per device dispatch (one lax.scan).
+        chunk=1 reproduces the reference's token-at-a-time loop exactly;
+        chunk=N amortizes per-dispatch latency N-fold (token streams are
+        bit-identical — same key-split order) at two costs: on_text fires
+        per chunk, and a stop string hit mid-chunk leaves the stream state
+        advanced up to chunk-1 tokens past it (fine for stateless serving;
+        keep chunk=1 when continuing conversations across stop strings)."""
         if self.tokenizer is None:
             raise RuntimeError("tokenizer not loaded")
         self._require_loaded()
@@ -460,19 +483,28 @@ class RWKV:
 
         text: Optional[str] = None
         cut = stopped()
-        if cut is None:
-            for _ in range(max_tokens - 1):
+        remaining = max_tokens - 1
+        while remaining > 0 and cut is None:
+            k = chunk if remaining >= chunk else 1
+            if k > 1:
+                toks, state, key = self._jit_decode_chunk(
+                    self.params, token, state, key, tempf, tauf, ban, k=k,
+                )
+                ids = np.asarray(toks).tolist()
+                token = toks[-1]
+            else:
                 token, state, key = self._jit_decode(
                     self.params, token, state, key, tempf, tauf, ban,
                 )
-                piece = decoder.feed([int(token)])
+                ids = [int(token)]
+            remaining -= len(ids)
+            for tid in ids:
+                piece = decoder.feed([int(tid)])
                 if piece:
                     pieces.append(piece)
                     if on_text:
                         on_text(piece)
-                cut = stopped()
-                if cut is not None:
-                    break
+            cut = stopped()
 
         if cut is not None:
             text = "".join(pieces)[:cut]

@@ -156,3 +156,15 @@ def test_generate_with_padded_checkpoint(tmp_path, engine):
     # public logits API stays at the true vocab width
     eng2.reset_state()
     assert eng2.forward(5).shape == (50277,)
+
+
+@pytest.mark.skipif(not os.path.isdir(VOCAB_DIR), reason="vocab unavailable")
+def test_generate_chunked_matches_tokenwise(engine):
+    """chunk=4 must produce the bit-identical stream to chunk=1 (same
+    key-split order inside the scanned decode)."""
+    engine.load_tokenizer(VOCAB_DIR)
+    engine.reset_state()
+    a = engine.generate("Once", max_tokens=9, seed=11)
+    engine.reset_state()
+    b = engine.generate("Once", max_tokens=9, seed=11, chunk=4)
+    assert a == b
