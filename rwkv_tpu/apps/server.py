@@ -233,6 +233,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--pool", type=int, default=0, metavar="N",
                    help="continuous batching with N slots (0 = serialized)")
+    p.add_argument("--pool-chunk", type=int, default=4, metavar="K",
+                   help="tokens per device dispatch in pool mode (admission/"
+                        "stop latency lags by up to K-1 tokens)")
     args = p.parse_args(argv)
 
     eng = build_engine(args)
@@ -242,7 +245,8 @@ def main(argv=None):
 
         pool = InferencePool(eng.params, eng.tokenizer,
                              max_streams=args.pool, step_fn=eng._step_fn,
-                             prefill_dtype=eng.prefill_dtype)
+                             prefill_dtype=eng.prefill_dtype,
+                             step_chunk=args.pool_chunk)
         runner = PoolRunner(pool)
         print(f"continuous batching: {args.pool} slots", file=sys.stderr)
     lock = threading.Lock()

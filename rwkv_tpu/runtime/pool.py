@@ -60,6 +60,7 @@ class InferencePool:
         prefill_bucket: int = 128,
         step_fn: Optional[Callable] = None,
         prefill_dtype=jnp.float32,
+        step_chunk: int = 1,
     ):
         """step_fn: the per-token forward (params, tokens, state) ->
         (logits, state); defaults to the XLA forward_step. Pass
@@ -67,7 +68,14 @@ class InferencePool:
         to run the batch on the fused kernel on a real TPU.
 
         prefill_dtype: jnp.bfloat16 doubles prompt-ingest throughput
-        (compute-bound path; see BENCH_NOTES.md)."""
+        (compute-bound path; see BENCH_NOTES.md).
+
+        step_chunk: decode this many tokens per device dispatch for the
+        whole batch (lax.scan over the batched step; identical token
+        streams). Trades dispatch overhead against request admission /
+        stop-string latency, both of which lag by up to step_chunk-1
+        steps; finished slots keep decoding (masked) until the chunk
+        ends, which is free at memory-bound batch sizes."""
         self.params = params
         self.cfg = params.config
         self.tok = tokenizer
@@ -76,6 +84,7 @@ class InferencePool:
         self._step_impl = step_fn or forward_step
         self.prefill_dtype = prefill_dtype
 
+        self.step_chunk = max(1, int(step_chunk))
         self._state = init_state(self.cfg, (self.B,))
         self._tokens = np.zeros((self.B,), np.int32)
         self._active = np.zeros((self.B,), bool)
@@ -91,6 +100,8 @@ class InferencePool:
         self._next_rid = 0
 
         self._jit_step = jax.jit(self._batched_step)
+        self._jit_step_k = jax.jit(self._batched_step_k,
+                                   static_argnames=("k",))
         self._jit_prefill = jax.jit(self._prefill)
 
     # -- device programs ------------------------------------------------------
@@ -115,6 +126,20 @@ class InferencePool:
         state = WKVState(*(jnp.where(act, n, o) for n, o in zip(new_state, state)))
         nxt = jnp.where(active, nxt, 0)
         return nxt, state, keys
+
+    def _batched_step_k(self, params, tokens, state, keys, temp, tau,
+                        active, *, k):
+        """k batched steps in one device program; returns tokens [k, B]."""
+        def body(carry, _):
+            toks, st, ky = carry
+            toks, st, ky = self._batched_step(
+                params, toks, st, ky, temp, tau, active)
+            return (toks, st, ky), toks
+
+        (toks, state, keys), hist = jax.lax.scan(
+            body, (tokens, state, keys), None, length=k
+        )
+        return hist, state, keys
 
     def _prefill(self, params, tokens, length, slot_state):
         """Single-slot prompt ingest (parallel WKV scan), bucketed."""
@@ -234,13 +259,14 @@ class InferencePool:
         return req
 
     def step(self) -> list[Request]:
-        """Admit queued requests, advance the batch one token; returns
-        requests that completed this step."""
+        """Admit queued requests, advance the batch step_chunk tokens in
+        one device dispatch; returns requests that completed."""
         self._admit()
         if not self._by_slot:
             return []
 
-        nxt, self._state, keys = self._jit_step(
+        k = self.step_chunk
+        args = (
             self.params,
             jnp.asarray(self._tokens),
             self._state,
@@ -249,21 +275,31 @@ class InferencePool:
             jnp.asarray(self._tau),
             jnp.asarray(self._active),
         )
-        nxt_host = np.asarray(nxt)
+        if k == 1:
+            nxt, self._state, keys = self._jit_step(*args)
+            hist = np.asarray(nxt)[None]  # [1, B]
+        else:
+            hist_d, self._state, keys = self._jit_step_k(*args, k=k)
+            hist = np.asarray(hist_d)     # [k, B]
         self._keys = np.array(keys)
         metrics.inc("pool.steps")
-        metrics.inc("pool.tokens_decoded", len(self._by_slot))
+        metrics.inc("pool.tokens_decoded", len(self._by_slot) * hist.shape[0])
 
         finished = []
         for slot, req in list(self._by_slot.items()):
-            token = int(nxt_host[slot])
-            self._tokens[slot] = token
-            self._emit(req, token)
-
-            text = "".join(req.pieces)
-            hit_stop = req.stop and any(s in text for s in req.stop)
-            if req.produced >= req.max_tokens or hit_stop:
-                finished.append(self._finish(req))
+            done = False
+            for row in hist:
+                token = int(row[slot])
+                self._tokens[slot] = token
+                self._emit(req, token)
+                text = "".join(req.pieces)
+                hit_stop = req.stop and any(s in text for s in req.stop)
+                if req.produced >= req.max_tokens or hit_stop:
+                    finished.append(self._finish(req))
+                    done = True
+                    break
+            if done:
+                continue
         return finished
 
     def run(self) -> dict[int, str]:

@@ -86,3 +86,19 @@ def test_finish_flushes_partial_utf8(pool_setup):
     pool._active[0] = True
     done = pool._finish(req)
     assert done.text != ""  # replacement char, not dropped
+
+
+def test_step_chunk_equivalent_results(pool_setup):
+    """step_chunk=3 produces the same completions as step_chunk=1 (same
+    per-slot key streams), with fewer host dispatches."""
+    params, tok = pool_setup
+    p1 = InferencePool(params, tok, max_streams=2, prefill_bucket=16)
+    for i in range(3):
+        p1.submit(f"req {i}", max_tokens=7, seed=i)
+    r1 = p1.run()
+    p3 = InferencePool(params, tok, max_streams=2, prefill_bucket=16,
+                       step_chunk=3)
+    for i in range(3):
+        p3.submit(f"req {i}", max_tokens=7, seed=i)
+    r3 = p3.run()
+    assert r1 == r3
