@@ -93,14 +93,19 @@ def _bsum(x):
 def _decode_stack_kernel(
     *refs,
     n_att: int, n_ffn: int, tile: int, n_layer: int, n_head: int,
-    a8: bool, with_head: bool, fuse_embed: bool, pretiled: bool,
+    a8: bool, with_head: bool, fuse_embed: int, pretiled: bool,
 ):
     # ----- unpack (positional refs: inputs, then outputs, then scratch) ----
     ln0_w = ln0_b = None
+    emb_rows = ()
     if fuse_embed:
-        # scalar-prefetch token ref first, then the gathered emb row + ln0
-        _tok_ref, x_in, ln0_w, ln0_b = refs[:4]  # x_in: [1, 1, E] emb row
-        refs = refs[4:]
+        # scalar-prefetch token ref first, then one gathered [1,1,E] emb
+        # row per batch element, then ln0
+        _tok_ref = refs[0]
+        emb_rows = refs[1:1 + fuse_embed]
+        ln0_w, ln0_b = refs[1 + fuse_embed:3 + fuse_embed]
+        x_in = None
+        refs = refs[3 + fuse_embed:]
     else:
         x_in = refs[0]                           # [Bp, E] post-ln0 embedding
         refs = refs[1:]
@@ -171,10 +176,18 @@ def _decode_stack_kernel(
         @pl.when(l == 0)
         def _():
             if fuse_embed:
-                # B == 1 path: ln0(emb row) broadcast over the Bp padding
-                # rows (all rows compute identically; caller keeps row 0)
-                row = _ln(x_in[0], ln0_w[0], ln0_b[0])  # [1, E]
-                xcur[:] = jnp.broadcast_to(row, xcur.shape)
+                # ln0 over each gathered emb row; padding rows (Bp > B)
+                # repeat row 0 — they compute identically and the caller
+                # keeps only the first B rows
+                rows = jnp.concatenate(
+                    [_ln(r[0], ln0_w[0], ln0_b[0]) for r in emb_rows], 0
+                )  # [B, E]
+                pad = xcur.shape[0] - rows.shape[0]
+                if pad:
+                    rows = jnp.concatenate(
+                        [rows, jnp.broadcast_to(rows[:1], (pad, rows.shape[1]))], 0
+                    )
+                xcur[:] = rows
             else:
                 xcur[:] = x_in[:]
 
@@ -544,17 +557,20 @@ def decode_stack(
                             memory_space=pltpu.VMEM)
 
     if fuse_embed:
-        if B != 1:
-            raise ValueError("fuse_embed supports B == 1 (decode latency "
-                             "path); batch callers embed in XLA")
+        if B > 8:
+            raise ValueError("fuse_embed supports B <= 8 (one gathered emb "
+                             "row input per batch element); larger batches "
+                             "embed in XLA")
         if token is None:
             raise ValueError("fuse_embed requires the token array")
-        # emb row gathered straight from HBM by the scalar-prefetched
-        # token; emb viewed [Vp, 1, E] so the block's trailing dims (1, E)
-        # satisfy Mosaic's divisibility rule
-        x_specs = [
-            pl.BlockSpec((1, 1, E), lambda t, tok: (tok[0], 0, 0),
-                         memory_space=pltpu.VMEM),
+        # one emb-row block per batch element, each gathered straight from
+        # HBM by its scalar-prefetched token; emb viewed [Vp, 1, E] so the
+        # block's trailing dims (1, E) satisfy Mosaic's divisibility rule
+        def emb_spec(i):
+            return pl.BlockSpec((1, 1, E), lambda t, tok, i=i: (tok[i], 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        x_specs = [emb_spec(i) for i in range(B)] + [
             pl.BlockSpec((1, E), lambda *a: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), lambda *a: (0, 0),
@@ -596,8 +612,8 @@ def decode_stack(
 
     if fuse_embed:
         r2e = lambda a: a.reshape(1, a.shape[0])  # noqa: E731
-        x_ops = [params.emb.reshape(params.emb.shape[0], 1, E),
-                 r2e(params.ln0.weight), r2e(params.ln0.bias)]
+        emb3 = params.emb.reshape(params.emb.shape[0], 1, E)
+        x_ops = [emb3] * B + [r2e(params.ln0.weight), r2e(params.ln0.bias)]
     else:
         x_ops = [x]
     operands = x_ops + [
@@ -657,7 +673,8 @@ def decode_stack(
     kernel = functools.partial(
         _decode_stack_kernel,
         n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L, n_head=n_head,
-        a8=a8, with_head=with_head, fuse_embed=fuse_embed, pretiled=pretiled,
+        a8=a8, with_head=with_head, fuse_embed=(B if fuse_embed else 0),
+        pretiled=pretiled,
     )
     cost = pl.CostEstimate(
         flops=2 * Bp * weight_bytes,
@@ -743,13 +760,14 @@ def forward_step_fused(
         and params.head.w.dtype == jnp.int8
         and params.head.w.shape[-1] % 128 == 0
     )
-    embed_fusable = head_fusable and tok.shape[0] == 1
+    embed_fusable = head_fusable and tok.shape[0] <= 8
 
     if not embed_fusable:
         x = params.emb[tok].astype(jnp.float32)  # [B, E]
         x = layer_norm(x, params.ln0.weight, params.ln0.bias)
     else:
-        x = jnp.zeros((1, params.emb.shape[1]), jnp.float32)  # placeholder
+        x = jnp.zeros((tok.shape[0], params.emb.shape[1]),
+                      jnp.float32)  # shape-only placeholder
 
     if head_fusable:
         y, new_state, logits = decode_stack(
