@@ -189,3 +189,38 @@ def test_fused_embed_clamps_oob_token(model):
                                    state, interpret=True)
     np.testing.assert_allclose(np.asarray(l_hi), np.asarray(l_last),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("E,L,V,B,a8", [
+    (128, 1, 131, 1, False),   # single layer, odd vocab (pads to 256)
+    (256, 2, 512, 5, False),   # mid batch, vocab == multiple already
+    (384, 2, 200, 8, False),   # E with tile=384, full Bp batch
+    (128, 3, 259, 2, True),    # a8 path with odd vocab
+])
+def test_fused_step_config_sweep(E, L, V, B, a8):
+    """Shape/config sweep: every (E, L, vocab, batch, a8) combination must
+    track the oracle. Guards the kernel's static-layout plumbing (tile and
+    head-tile pickers, padding, multi-row fused embed, a8 scratch) against
+    refactors."""
+    from rwkv_tpu.models.rwkv4 import pad_vocab
+
+    cfg = RWKVConfig.tiny_test(n_layer=L, n_embd=E, vocab_size=V)
+    params = signedize_params(
+        pad_vocab(quantize_params(init_params(jax.random.PRNGKey(E + L), cfg)),
+                  multiple=128)
+    )
+    state = init_state(cfg) if B == 1 else init_state(cfg, (B,))
+    tok = jnp.asarray(5) if B == 1 else jnp.asarray([i * 7 % V for i in range(B)])
+
+    l_ref, s_ref = forward_step(params, tok, state)
+    l_f, s_f = forward_step_fused(params, tok, state, interpret=True, a8=a8)
+    assert l_f.shape == l_ref.shape
+    if a8:
+        a, b = np.asarray(l_f), np.asarray(l_ref)
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+    else:
+        np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_ref),
+                                   rtol=1e-4, atol=1e-4)
+        for x, y in zip(s_f, s_ref):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-4)
