@@ -48,7 +48,7 @@ def weight_bytes_per_token(params) -> int:
     return total
 
 
-def bench_prefill(cfg, params, name, T=512, reps=4):
+def bench_prefill(cfg, params, name, T=None, reps=4):
     """Prompt-ingest throughput: parallel-WKV chunked prefill, XLA path.
 
     RWKV_TPU_BENCH_PREC=bf16 runs the matmuls in bf16 (f32 accumulate):
@@ -60,6 +60,8 @@ def bench_prefill(cfg, params, name, T=512, reps=4):
 
     prec = os.environ.get("RWKV_TPU_BENCH_PREC", "f32")
     cdt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    if T is None:
+        T = int(os.environ.get("RWKV_TPU_BENCH_PREFILL_T", "512"))
     state = init_state(cfg)
     toks = jnp.asarray(np.arange(T) % 50000, jnp.int32)
 
@@ -94,6 +96,7 @@ def bench_prefill(cfg, params, name, T=512, reps=4):
         "unit": "tokens/s",
         "vs_baseline": 1.0,
         "extras": {"chunk": T, "ms_per_chunk": round(per_chunk * 1e3, 2),
+                   "prec": prec,
                    "n_layer": cfg.n_layer, "n_embd": cfg.n_embd},
     }))
 
