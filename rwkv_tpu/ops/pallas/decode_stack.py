@@ -177,8 +177,9 @@ def _decode_stack_kernel(
         def _():
             if fuse_embed:
                 # ln0 over each gathered emb row; padding rows (Bp > B)
-                # repeat row 0 — they compute identically and the caller
-                # keeps only the first B rows
+                # reuse row 0's embedding but carry their own (zero-pad)
+                # state, so they compute discarded garbage — outputs and
+                # state are sliced to [:B] by the caller
                 rows = jnp.concatenate(
                     [_ln(r[0], ln0_w[0], ln0_b[0]) for r in emb_rows], 0
                 )  # [B, E]
@@ -428,7 +429,7 @@ def decode_stack(
     params: RWKVParams,      # quantized, SIGNED int8 weights
     state: WKVState,         # leaves [L, B, E]
     *,
-    token: jax.Array | None = None,   # [1] int32, only with fuse_embed
+    token: jax.Array | None = None,   # [B] int32, only with fuse_embed
     tile: int | None = None,
     head_tile: int | None = None,
     interpret: bool = False,
@@ -563,6 +564,11 @@ def decode_stack(
                              "embed in XLA")
         if token is None:
             raise ValueError("fuse_embed requires the token array")
+        if token.shape != (B,):
+            raise ValueError(
+                f"fuse_embed token shape {token.shape} != batch ({B},) — "
+                f"each batch row gathers its own emb-row block"
+            )
         # one emb-row block per batch element, each gathered straight from
         # HBM by its scalar-prefetched token; emb viewed [Vp, 1, E] so the
         # block's trailing dims (1, E) satisfy Mosaic's divisibility rule

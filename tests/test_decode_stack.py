@@ -216,8 +216,11 @@ def test_fused_step_config_sweep(E, L, V, B, a8):
     l_f, s_f = forward_step_fused(params, tok, state, interpret=True, a8=a8)
     assert l_f.shape == l_ref.shape
     if a8:
-        a, b = np.asarray(l_f), np.asarray(l_ref)
-        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+        # correlate only REAL-token logits: the shared -1e9 pad bias makes
+        # whole-array correlation vacuously ~1.0
+        a = np.asarray(l_f)[..., :V].ravel()
+        b = np.asarray(l_ref)[..., :V].ravel()
+        assert np.corrcoef(a, b)[0, 1] > 0.999
     else:
         np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_ref),
                                    rtol=1e-4, atol=1e-4)

@@ -58,7 +58,7 @@ def main():
     cols = block_kb * 1024 // rows
     # content is irrelevant to DMA rate; zeros avoids a 4x randint blowup
     data = jax.jit(lambda: jnp.zeros((n_blocks, rows, cols), jnp.int8))()
-    bytes_total = data.size
+    bytes_total = data.nbytes
 
     def sweeps(d, r):
         def body(c, _):
