@@ -42,3 +42,25 @@ def test_sharded_engine_matches_unsharded(binfile):
     assert eng_tp.params.att.key.w.sharding.spec == jax.sharding.PartitionSpec(
         None, None, "model"
     )
+
+
+def test_sharded_generate_deterministic(binfile):
+    """Full sharded serving loop: tokenize -> prefill -> sampled decode on
+    the TP mesh; same seed twice must give the same text, and it must be
+    decodable (the typical sampler runs on TP-sharded padded logits)."""
+    import os
+
+    VOCAB_DIR = "/root/reference/include/rwkv/tokenizer/vocab"
+    if not os.path.isdir(VOCAB_DIR):
+        pytest.skip("vocab unavailable")
+
+    mesh = make_mesh(model=4, data=1)
+    with jax.sharding.set_mesh(mesh):
+        eng = RWKV(sharding=ShardingContext(mesh))
+        eng.load_file(binfile)
+        eng.load_tokenizer(VOCAB_DIR)
+        a = eng.generate("Hello", max_tokens=6, seed=4)
+        eng.reset_state()
+        b = eng.generate("Hello", max_tokens=6, seed=4)
+    assert a == b
+    assert isinstance(a, str)
