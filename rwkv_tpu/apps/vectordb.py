@@ -37,6 +37,41 @@ class StateVectorDB:
         self.keys.append(text)
         self.vecs.append(self._embed(text))
 
+    def add_batch(self, texts: list[str], bucket: int = 128) -> None:
+        """Index many texts in ONE batched prefill (forward_seq over
+        [T, B]) — the reference indexes facts one forward at a time
+        (vectordb.cpp:28-35); here B documents cost one weight sweep.
+
+        Shorter documents are right-aligned; their leading positions carry
+        token 0 (<|endoftext|>), which acts as a document boundary — the
+        resulting embeddings are not bit-identical to one-at-a-time
+        indexing but rank equivalently (tests/test_apps.py)."""
+        import jax.numpy as jnp
+
+        from rwkv_tpu.models.rwkv4 import forward_seq, init_state
+
+        if not texts:
+            return
+        ids = [self.eng.tokenizer.encode(t) or [0] for t in texts]
+        T = min(max(len(i) for i in ids), bucket)
+        B = len(texts)
+        toks = np.zeros((T, B), np.int32)
+        for b, seq in enumerate(ids):
+            seq = seq[:T]
+            # right-align so every column's LAST token is real (the state
+            # after position T-1 is the document summary)
+            toks[T - len(seq):, b] = seq
+        state = init_state(self.eng.config, (B,))
+        _, state = forward_seq(
+            self.eng.params, jnp.asarray(toks), state, parallel=True,
+            compute_dtype=self.eng.prefill_dtype,
+        )
+        dd = np.asarray(state.dd)  # [L, B, E]
+        for b, text in enumerate(texts):
+            v = dd[-1, b] if self.layers == "last" else dd[:, b].reshape(-1)
+            self.keys.append(text)
+            self.vecs.append(v.astype(np.float64))
+
     def query(self, text: str, k: int = 3) -> list[tuple[str, float]]:
         if not self.vecs:
             return []
@@ -67,13 +102,19 @@ def main(argv=None):
     p.add_argument("--metric", choices=["l1", "l2", "cosine"], default="l2")
     p.add_argument("--query", default="Which city is the capital of France?")
     p.add_argument("--top-k", type=int, default=3)
+    p.add_argument("--batch-index", action="store_true",
+                   help="index all facts in one batched prefill")
     args = p.parse_args(argv)
 
     eng = build_engine(args)
     db = StateVectorDB(eng, metric=args.metric)
-    for fact in FACTS:
-        print(f"indexing: {fact}", file=sys.stderr)
-        db.add(fact)
+    if args.batch_index:
+        print(f"batch-indexing {len(FACTS)} facts", file=sys.stderr)
+        db.add_batch(FACTS)
+    else:
+        for fact in FACTS:
+            print(f"indexing: {fact}", file=sys.stderr)
+            db.add(fact)
 
     print(f"\nquery: {args.query}")
     for text, dist in db.query(args.query, args.top_k):

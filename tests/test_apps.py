@@ -168,3 +168,22 @@ def test_pooled_server_streaming(pooled_server):
     with urllib.request.urlopen(req) as r:
         body = r.read().decode()
     assert "data: [DONE]" in body
+
+
+def test_vectordb_batch_index_matches_sequential(capsys):
+    """Batched prefill indexing ranks like one-at-a-time indexing."""
+    from rwkv_tpu.apps._common import build_engine
+    from rwkv_tpu.apps.vectordb import FACTS, StateVectorDB
+
+    class A:
+        mock, model, vocab, streams = True, None, VOCAB_DIR, 1
+        temp, tau, seed = 0.9, 0.8, 0
+
+    eng = build_engine(A)
+    seq = StateVectorDB(eng, metric="cosine")
+    for f in FACTS[:3]:
+        seq.add(f)
+    bat = StateVectorDB(eng, metric="cosine")
+    bat.add_batch(FACTS[:3])
+    q = "capital city of France"
+    assert [t for t, _ in seq.query(q, 3)] == [t for t, _ in bat.query(q, 3)]
