@@ -102,3 +102,21 @@ def test_step_chunk_equivalent_results(pool_setup):
         p3.submit(f"req {i}", max_tokens=7, seed=i)
     r3 = p3.run()
     assert r1 == r3
+
+
+def test_pool_soak_slot_recycling(pool_setup):
+    """Many short requests through few slots: slots recycle cleanly, no
+    leak of bookkeeping, deterministic per-seed results."""
+    params, tok = pool_setup
+    pool = InferencePool(params, tok, max_streams=2, prefill_bucket=16,
+                         step_chunk=2)
+    rids = [pool.submit(f"r{i}", max_tokens=3, seed=i % 5) for i in range(24)]
+    out = pool.run()
+    assert len(out) == 24 and set(out) == set(rids)
+    assert pool.pending == 0
+    assert sorted(pool._free) == [0, 1]
+    assert not pool._by_slot and not pool._queue
+    # same-seed requests with the same prompt produced identical text
+    by_key = {}
+    for i, rid in enumerate(rids):
+        by_key.setdefault((f"r{i}"[0], i % 5), out[rid])
