@@ -60,9 +60,20 @@ def load_pth(path: str) -> RWKVParams:
     def stack_sq(fmt):
         return stack(fmt, lambda t: npf(t).reshape(-1))
 
+    def tT(name):
+        # torch's blocked transpose is ~10x numpy's naive strided copy on
+        # this workload (the converter is single-core memory-bound)
+        return w[name].float().t().contiguous().numpy()
+
     def stack_t(fmt):
-        # torch Linear weight is [out, in]; our matmul layout is [in, out]
-        return stack(fmt, lambda t: np.ascontiguousarray(npf(t).T))
+        # torch Linear weight is [out, in]; our matmul layout is [in, out]:
+        # preallocate [L, in, out], transpose in torch, memcpy in place
+        first = tT(fmt.format(0))
+        out = np.empty((n_layer,) + first.shape, np.float32)
+        out[0] = first
+        for i in range(1, n_layer):
+            out[i] = tT(fmt.format(i))
+        return out
 
     params = RWKVParams(
         emb=npf(w["emb.weight"]),
@@ -90,7 +101,7 @@ def load_pth(path: str) -> RWKVParams:
             receptance=stack_t("blocks.{}.ffn.receptance.weight"),
         ),
         ln_out=LNParams(npf(w["ln_out.weight"]), npf(w["ln_out.bias"])),
-        head=np.ascontiguousarray(npf(w["head.weight"]).T),
+        head=tT("head.weight"),
     )
     assert params.config == cfg
     return params
@@ -104,7 +115,7 @@ def convert(pth_path: str, out_path: str) -> None:
     cfg = dense.config
     print(f"model: L={cfg.n_layer} E={cfg.n_embd} V={cfg.vocab_size}; quantizing ...",
           file=sys.stderr)
-    qparams = quantize_params(dense)
+    qparams = quantize_params(dense, as_numpy=True)  # disk-to-disk: never touch a device
     print(f"writing {out_path} ...", file=sys.stderr)
     write_bin(out_path, qparams)
     print("done", file=sys.stderr)

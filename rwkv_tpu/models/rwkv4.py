@@ -572,12 +572,15 @@ def pad_vocab(params: RWKVParams, multiple: int = 128) -> RWKVParams:
     return dataclasses.replace(params, emb=emb, head=head, logit_bias=bias)
 
 
-def quantize_params(params: RWKVParams) -> RWKVParams:
+def quantize_params(params: RWKVParams, as_numpy: bool = False) -> RWKVParams:
     """Quantize the 8 matrix families to u8 (emb/norms/mix stay dense,
-    exactly the reference converter's split, convert_model.py:62-92)."""
+    exactly the reference converter's split, convert_model.py:62-92).
+
+    as_numpy: host-only results (see ops.quant.quantize) — required for
+    the offline converter path."""
 
     def q(w: Linear) -> QuantLinear:
-        return w if isinstance(w, QuantLinear) else quantize(w)
+        return w if isinstance(w, QuantLinear) else quantize(w, as_numpy=as_numpy)
 
     return dataclasses.replace(
         params,

@@ -57,25 +57,40 @@ class QuantLinear:
         return self.w.shape[-1]
 
 
-def quantize(w: jax.Array | np.ndarray, *, stochastic: bool = False) -> QuantLinear:
+def quantize(w: jax.Array | np.ndarray, *, stochastic: bool = False,
+             as_numpy: bool = False) -> QuantLinear:
     """Quantize a dense [in, out] (or [L, in, out]) weight to QuantLinear.
 
     Pure-numpy/jnp equivalent of the reference converter's quantize_matrix
     (converter/convert_model.py:108-119), operating on the [in, out] layout
     directly. float64 intermediate math mirrors the converter's .double()
     usage so checkpoints round-trip bit-identically through our converter.
+
+    as_numpy: keep the result on the host as numpy arrays. The offline
+    converter MUST use this — its output goes to disk, and jnp.asarray
+    places tensors on the default device, which over a remote-TPU tunnel
+    turns a disk-to-disk conversion into a multi-GB device round-trip.
     """
-    x = np.asarray(w, dtype=np.float64)
-    o = x.min(axis=-1)                      # [..., in]
-    span = x.max(axis=-1) - o
+    # Single-pass-frugal formulation (the converter is host-memory-bound):
+    # min/max run on the f32 input (exact — no arithmetic), only `q` is
+    # materialized in f64 (f32 values are exactly representable in f64, so
+    # results are bit-identical to converting x up front), and `qu8`
+    # doubles as floor(q) (q is in [0, 255], where uint8 truncation ==
+    # floor) so no separate floor pass.
+    x = np.asarray(w)
+    o = x.min(axis=-1).astype(np.float64)   # [..., in]
+    span = x.max(axis=-1).astype(np.float64) - o
     # Guard all-equal rows (span 0): scale 1 yields Q=0, dequant = offset.
     r = np.where(span > 0, span, 255.0) / 255.0
-    q = (x - o[..., None]) / r[..., None]
-    frac = q - np.floor(q)
+    q = (x - o[..., None]) / r[..., None]   # f64 via broadcast
+    qu8 = q.astype(np.uint8)
     # uint8 cast truncates toward zero in the reference (torch .to(uint8));
     # the refinement shifts the offset by the mean fractional residue.
-    o = o + frac.mean(axis=-1) * r
-    qu8 = q.astype(np.uint8)
+    o = o + (q - qu8).mean(axis=-1) * r
+    if as_numpy:
+        return QuantLinear(
+            w=qu8, scale=r.astype(np.float32), offset=o.astype(np.float32)
+        )
     return QuantLinear(
         w=jnp.asarray(qu8),
         scale=jnp.asarray(r, dtype=jnp.float32),
