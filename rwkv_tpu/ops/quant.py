@@ -76,17 +76,23 @@ def quantize(w: jax.Array | np.ndarray, *, stochastic: bool = False,
     # materialized in f64 (f32 values are exactly representable in f64, so
     # results are bit-identical to converting x up front), and `qu8`
     # doubles as floor(q) (q is in [0, 255], where uint8 truncation ==
-    # floor) so no separate floor pass.
+    # floor) so no separate floor pass. Stacked [L, in, out] inputs
+    # quantize layer-by-layer so the transient f64 `q` is one layer, not
+    # the whole family (a 14B family would otherwise need ~56GB host RAM).
     x = np.asarray(w)
     o = x.min(axis=-1).astype(np.float64)   # [..., in]
     span = x.max(axis=-1).astype(np.float64) - o
     # Guard all-equal rows (span 0): scale 1 yields Q=0, dequant = offset.
     r = np.where(span > 0, span, 255.0) / 255.0
-    q = (x - o[..., None]) / r[..., None]   # f64 via broadcast
-    qu8 = q.astype(np.uint8)
+    qu8 = np.empty(x.shape, np.uint8)
+    fmean = np.empty(o.shape, np.float64)
+    for idx in (np.ndindex(x.shape[:-2]) if x.ndim > 2 else [()]):
+        q = (x[idx] - o[idx][..., None]) / r[idx][..., None]  # f64 broadcast
+        qu8[idx] = q.astype(np.uint8)
+        fmean[idx] = (q - qu8[idx]).mean(axis=-1)
     # uint8 cast truncates toward zero in the reference (torch .to(uint8));
     # the refinement shifts the offset by the mean fractional residue.
-    o = o + (q - qu8).mean(axis=-1) * r
+    o = o + fmean * r
     if as_numpy:
         return QuantLinear(
             w=qu8, scale=r.astype(np.float32), offset=o.astype(np.float32)
