@@ -233,3 +233,24 @@ def write_bin(path: str, params: RWKVParams) -> None:
             if tuple(arr.shape) != tuple(expected):
                 raise ValueError(f"{spec.name}: shape {arr.shape} != {expected}")
             f.write(arr.tobytes())
+
+
+def write_bin_streaming(path: str, n_layer: int, n_embd: int, get) -> None:
+    """Write a .bin producing one tensor at a time: `get(spec)` returns the
+    numpy array for each REGISTRY entry in file order and is freed before
+    the next is requested — peak RAM is one tensor (plus whatever the
+    provider caches). The offline converter uses this to turn a 14B .pth
+    into a .bin in ~one-quantized-family of host memory, which the
+    reference converter (full torch state dict resident) cannot do."""
+    a, b = n_layer, n_embd
+    with open(path, "wb") as f:
+        f.write(np.asarray([a, b], dtype="<i8").tobytes())
+        for spec in REGISTRY:
+            arr = np.ascontiguousarray(np.asarray(get(spec)),
+                                       dtype="<" + spec.dtype
+                                       if spec.dtype != "u1" else "u1")
+            expected = spec.shape(a, b)
+            if tuple(arr.shape) != tuple(expected):
+                raise ValueError(f"{spec.name}: shape {arr.shape} != {expected}")
+            f.write(arr.tobytes())
+            del arr

@@ -107,17 +107,123 @@ def load_pth(path: str) -> RWKVParams:
     return params
 
 
-def convert(pth_path: str, out_path: str) -> None:
-    from rwkv_tpu.io.binfmt import write_bin
+# .bin quant-family triplets -> (.pth key template, has layer dim)
+_FAMILIES = {
+    "km":      ("blocks.{}.att.key.weight", True),
+    "vm":      ("blocks.{}.att.value.weight", True),
+    "rm":      ("blocks.{}.att.receptance.weight", True),
+    "att_out": ("blocks.{}.att.output.weight", True),
+    "ffn_k":   ("blocks.{}.ffn.key.weight", True),
+    "ffn_v":   ("blocks.{}.ffn.value.weight", True),
+    "ffn_r":   ("blocks.{}.ffn.receptance.weight", True),
+    "head":    ("head.weight", False),
+}
+_TRIPLETS = {  # w name -> (scale name, offset name)
+    "km": ("kr", "o1"), "vm": ("vr", "o2"), "rm": ("rr", "o3"),
+    "att_out": ("att_out_r", "att_out_o"),
+    "ffn_k": ("ffn_kr", "ffn_ko"), "ffn_v": ("ffn_vr", "ffn_vo"),
+    "ffn_r": ("ffn_rr", "ffn_ro"), "head": ("head_r", "head_o"),
+}
 
-    print(f"loading {pth_path} ...", file=sys.stderr)
-    dense = load_pth(pth_path)
-    cfg = dense.config
-    print(f"model: L={cfg.n_layer} E={cfg.n_embd} V={cfg.vocab_size}; quantizing ...",
-          file=sys.stderr)
-    qparams = quantize_params(dense, as_numpy=True)  # disk-to-disk: never touch a device
+
+def convert(pth_path: str, out_path: str) -> None:
+    """Streaming .pth -> .bin: tensors are produced in file order and freed
+    as written; weight families quantize layer-by-layer directly from the
+    mmap'd checkpoint. Peak host RAM ~ one quantized family (a 14B converts
+    in a few GB; the reference converter keeps the whole dense state dict
+    resident)."""
+    import torch
+
+    from rwkv_tpu.io.binfmt import write_bin_streaming
+    from rwkv_tpu.ops.quant import quantize
+
+    print(f"loading {pth_path} (mmap) ...", file=sys.stderr)
+    try:
+        w = torch.load(pth_path, map_location="cpu", weights_only=True,
+                       mmap=True)
+    except (TypeError, RuntimeError):  # pre-zipfile checkpoints: no mmap
+        w = torch.load(pth_path, map_location="cpu", weights_only=True)
+    missing = [k for k in REQUIRED_KEYS if k not in w]
+    if missing:
+        raise ValueError(
+            f"{pth_path}: not an RWKV-v4 checkpoint; missing {missing}")
+    L = sum(1 for k in w if "blocks" in k and "ln1.bias" in k)
+    E = w["blocks.0.att.key.weight"].shape[1]
+    print(f"model: L={L} E={E} V={w['emb.weight'].shape[0]}; "
+          f"converting (streaming) ...", file=sys.stderr)
+
+    def npf(t):
+        return np.asarray(t.float().numpy(), dtype=np.float32)
+
+    def stack_sq(fmt):
+        return np.stack([npf(w[fmt.format(i)]).reshape(-1) for i in range(L)])
+
+    def layernorms():
+        ln = np.zeros((4 * (L + 1), E), np.float64)
+        ln[0] = npf(w["blocks.0.ln0.weight"]); ln[1] = npf(w["blocks.0.ln0.bias"])
+        for i in range(L):
+            ln[4 * i + 2] = npf(w[f"blocks.{i}.ln1.weight"])
+            ln[4 * i + 3] = npf(w[f"blocks.{i}.ln1.bias"])
+            ln[4 * i + 4] = npf(w[f"blocks.{i}.ln2.weight"])
+            ln[4 * i + 5] = npf(w[f"blocks.{i}.ln2.bias"])
+        ln[4 * L + 2] = npf(w["ln_out.weight"]); ln[4 * L + 3] = npf(w["ln_out.bias"])
+        return ln
+
+    cache: dict[str, np.ndarray] = {}
+
+    def quantize_family(wname: str):
+        fmt, layered = _FAMILIES[wname]
+        sname, oname = _TRIPLETS[wname]
+        if layered:
+            qs = scs = ofs = None
+            for i in range(L):
+                dense = w[fmt.format(i)].float().t().contiguous().numpy()
+                q = quantize(dense, as_numpy=True)
+                if qs is None:
+                    qs = np.empty((L,) + q.w.shape, np.uint8)
+                    scs = np.empty((L,) + q.scale.shape, np.float32)
+                    ofs = np.empty((L,) + q.offset.shape, np.float32)
+                qs[i], scs[i], ofs[i] = q.w, q.scale, q.offset
+                del dense, q
+            cache[wname], cache[sname], cache[oname] = qs, scs, ofs
+        else:
+            dense = w[fmt].float().t().contiguous().numpy()
+            q = quantize(dense, as_numpy=True)
+            cache[wname], cache[sname], cache[oname] = q.w, q.scale, q.offset
+            del dense
+
+    def get(spec):
+        name = spec.name
+        if name in cache:
+            return cache.pop(name)
+        if name in _FAMILIES:
+            quantize_family(name)
+            return cache.pop(name)
+        if name == "embed":
+            return npf(w["emb.weight"])
+        if name == "layernorms":
+            return layernorms()
+        if name == "mix_k":
+            return stack_sq("blocks.{}.att.time_mix_k")
+        if name == "mix_v":
+            return stack_sq("blocks.{}.att.time_mix_v")
+        if name == "mix_r":
+            return stack_sq("blocks.{}.att.time_mix_r")
+        if name == "ffn_mix_k":
+            return stack_sq("blocks.{}.ffn.time_mix_k")
+        if name == "ffn_mix_v":  # registry quirk: slot holds time_mix_r
+            return stack_sq("blocks.{}.ffn.time_mix_r")
+        if name == "decay":
+            return -np.exp(stack_sq("blocks.{}.att.time_decay").astype(np.float64))
+        if name == "bonus":
+            return stack_sq("blocks.{}.att.time_first")
+        if name == "state_pp":
+            return np.full(spec.shape(L, E), -1e30)
+        # scratch buffers / empty state: zeros
+        return np.zeros(spec.shape(L, E))
+
     print(f"writing {out_path} ...", file=sys.stderr)
-    write_bin(out_path, qparams)
+    write_bin_streaming(out_path, L, E, get)
     print("done", file=sys.stderr)
 
 

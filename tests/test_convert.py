@@ -100,3 +100,36 @@ def test_full_convert_pipeline(tmp_path):
     import jax
     tv = 0.5 * float(jnp.abs(jax.nn.softmax(l_loaded) - jax.nn.softmax(l_dense)).sum())
     assert tv < 0.15
+
+
+def test_streaming_convert_bit_identical_to_inmemory(tmp_path):
+    """The streaming converter's .bin is byte-identical to quantizing the
+    fully-loaded checkpoint through write_bin."""
+    from rwkv_tpu.io.binfmt import write_bin
+    from rwkv_tpu.io.convert import convert, load_pth
+    from rwkv_tpu.models.rwkv4 import quantize_params
+
+    import numpy as np
+
+    from rwkv_tpu.io.registry import file_layout
+
+    pth = str(tmp_path / "model.pth")
+    make_synthetic_pth(pth, n_layer=3, n_embd=32)
+    a = str(tmp_path / "stream.bin")
+    b = str(tmp_path / "mem.bin")
+    convert(pth, a)
+    write_bin(b, quantize_params(load_pth(pth), as_numpy=True))
+    da = open(a, "rb").read()
+    db = open(b, "rb").read()
+    assert len(da) == len(db)
+    for name, off, n in file_layout(3, 32):
+        if name == "decay":
+            # the streaming path keeps decay = -exp(time_decay) in full
+            # float64 like the reference converter (convert_model.py:58);
+            # the in-memory path rounds through RWKVParams' float32 field
+            x = np.frombuffer(da[off:off + n], "<f8")
+            y = np.frombuffer(db[off:off + n], "<f8")
+            np.testing.assert_array_equal(
+                x.astype(np.float32), y.astype(np.float32))
+        else:
+            assert da[off:off + n] == db[off:off + n], name
