@@ -158,10 +158,26 @@ def init_state(
 
 
 def _last_valid(xx: jax.Array, length) -> jax.Array:
-    """xx[length-1] (the carried token-shift state) — xx[-1] when unmasked."""
+    """xx at the last VALID position (the carried token-shift state) —
+    xx[-1] when unmasked. length: scalar, or [B] per-stream lengths with
+    xx [T, B, E] (ragged batched prefill)."""
     if length is None:
         return xx[-1]
-    return jax.lax.dynamic_index_in_dim(xx, length - 1, axis=0, keepdims=False)
+    if getattr(length, "ndim", 0) == 0 or isinstance(length, int):
+        return jax.lax.dynamic_index_in_dim(xx, length - 1, axis=0,
+                                            keepdims=False)
+    idx = jnp.maximum(length - 1, 0)[None, :, None]  # [1, B, 1]
+    return jnp.take_along_axis(
+        xx, jnp.broadcast_to(idx, (1,) + xx.shape[1:]), axis=0
+    )[0]
+
+
+def _carry_valid(new, old, length):
+    """Per-stream ragged prefill: a stream with zero valid tokens in this
+    chunk keeps its previous token-shift state."""
+    if length is None or getattr(length, "ndim", 0) == 0:
+        return new
+    return jnp.where((length > 0)[:, None], new, old)
 
 
 def _att_seq(
@@ -178,7 +194,8 @@ def _att_seq(
     wkv_fn = wkv_parallel if parallel else wkv_scan
     y, chan = wkv_fn(k, v, chan, layer.decay, layer.bonus, mask)
     rwkv = jax.nn.sigmoid(r) * y
-    return x + mm(rwkv, layer.output), _last_valid(xx, length), chan
+    new_xy = _carry_valid(_last_valid(xx, length), xy, length)
+    return x + mm(rwkv, layer.output), new_xy, chan
 
 
 def _ffn_seq(
@@ -193,7 +210,8 @@ def _ffn_seq(
     mm = functools.partial(_matmul, compute_dtype=compute_dtype)
     gate = jax.nn.sigmoid(mm(r_in, layer.receptance))
     kk = jnp.square(jax.nn.relu(mm(k_in, layer.key)))
-    return x + gate * mm(kk, layer.value), _last_valid(xx, length)
+    new_dd = _carry_valid(_last_valid(xx, length), dd, length)
+    return x + gate * mm(kk, layer.value), new_dd
 
 
 def _att_step(
@@ -241,9 +259,11 @@ def forward_seq(
     """Run a token sequence through the model (the reference's GPT mode).
 
     tokens: [T] (or [T, B] for per-position batches sharing positions).
-    length: optional scalar — the number of *valid* leading tokens; positions
-    >= length are padding whose state updates are no-ops. Lets callers pad
-    prompts into fixed jit buckets instead of recompiling per length.
+    length: optional scalar — or, for [T, B] tokens with parallel=True,
+    a [B] vector of per-stream lengths (ragged batched prefill) — giving
+    the number of *valid* leading tokens; positions >= length are padding
+    whose state updates are no-ops. Lets callers pad prompts into fixed
+    jit buckets instead of recompiling per length.
     compute_dtype: matmul input dtype. f32 default; bf16 runs the MXU at
     4x the f32 rate (prefill is compute-bound, unlike decode) with f32
     accumulation — added rounding is the same order as the u8 weight
@@ -256,7 +276,12 @@ def forward_seq(
     T = x.shape[0]
     mask = None
     if length is not None:
-        mask = jnp.arange(T) < length
+        if getattr(length, "ndim", 0) >= 1:
+            if not parallel:
+                raise ValueError("per-stream lengths need parallel=True")
+            mask = jnp.arange(T)[:, None] < length[None, :]  # [T, B]
+        else:
+            mask = jnp.arange(T) < length
 
     def block(carry, layer):
         x, = carry

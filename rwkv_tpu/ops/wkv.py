@@ -144,8 +144,14 @@ def wkv_parallel(
     if mask is None:
         mask_b = None
     else:
-        # Padding tokens become exact identity maps: zero decay, -inf payload.
-        mask_b = jnp.reshape(mask, (mask.shape[0],) + (1,) * (k.ndim - 1))
+        # Padding tokens become exact identity maps: zero decay, -inf
+        # payload. mask is [T] (shared) or k.shape[:-1] (per-stream ragged
+        # lengths, e.g. [T, B] batched prefill).
+        if mask.ndim == 1:
+            mask_b = jnp.reshape(mask, (mask.shape[0],) + (1,) * (k.ndim - 1))
+        else:
+            assert mask.shape == k.shape[:-1], (mask.shape, k.shape)
+            mask_b = mask[..., None]
         lam = jnp.where(mask_b, lam, 0.0)
         pc = jnp.where(mask_b, pc, -1e38)
 

@@ -142,7 +142,9 @@ class InferencePool:
         return hist, state, keys
 
     def _prefill(self, params, tokens, length, slot_state):
-        """Single-slot prompt ingest (parallel WKV scan), bucketed."""
+        """Prompt ingest (parallel WKV scan), bucketed. tokens [T] with a
+        scalar length, or [T, Bn] with [Bn] ragged per-stream lengths —
+        several queued prompts share one weight sweep."""
         logits, new_state = forward_seq(
             params, tokens, slot_state, parallel=True, length=length,
             compute_dtype=self.prefill_dtype,
@@ -191,37 +193,52 @@ class InferencePool:
             self._free.append(slot)
 
     def _admit(self):
-        while self._queue and self._free:
-            req = self._queue.pop(0)
-            slot = self._free.pop(0)
+        """Admit every queued request a free slot can take, prefilling ALL
+        of them in one ragged [T, Bn] batched sweep per bucket chunk (the
+        reference ingests one prompt at a time; a prompt burst here costs
+        ~one weight stream instead of Bn)."""
+        n = min(len(self._queue), len(self._free))
+        if n == 0:
+            return
+        reqs = [self._queue.pop(0) for _ in range(n)]
+        slots = [self._free.pop(0) for _ in range(n)]
+        for req, slot in zip(reqs, slots):
             req.slot = slot
             req.decoder = StreamDecoder(self.tok)
 
-            # reset slot state, then prefill the prompt into it
-            empty = init_state(self.cfg)
-            slot_state = empty
-            ids = req.prompt_ids
-            bucket = self.prefill_bucket
-            logits = None
-            for i in range(0, len(ids), bucket):
-                chunk = ids[i : i + bucket]
-                padded = np.zeros((bucket,), np.int32)
-                padded[: len(chunk)] = chunk
-                logits, slot_state = self._jit_prefill(
-                    self.params,
-                    jnp.asarray(padded),
-                    jnp.asarray(len(chunk), jnp.int32),
-                    slot_state,
-                )
+        ids = [req.prompt_ids for req in reqs]
+        K = self.prefill_bucket
+        maxlen = max(len(i) for i in ids)
+        batch_state = init_state(self.cfg, (n,))
+        logits_host: list = [None] * n
+        for c0 in range(0, maxlen, K):
+            chunk = np.zeros((K, n), np.int32)
+            lens = np.zeros((n,), np.int32)
+            for b, seq in enumerate(ids):
+                part = seq[c0:c0 + K]
+                chunk[: len(part), b] = part
+                lens[b] = len(part)
+            lg, batch_state = self._jit_prefill(
+                self.params, jnp.asarray(chunk),
+                jnp.asarray(lens, jnp.int32), batch_state,
+            )
+            lg_np = np.asarray(lg)
+            for b in range(n):
+                if lens[b] > 0:
+                    logits_host[b] = lg_np[b]
+
+        # scatter prefilled states into the pool slots
+        slot_idx = jnp.asarray(slots, jnp.int32)
+        self._state = jax.tree.map(
+            lambda pool, s: pool.at[:, slot_idx].set(s),
+            self._state, batch_state,
+        )
+        for b, (req, slot) in enumerate(zip(reqs, slots)):
             # first token sampled host-side from prefill logits
             key = jax.random.PRNGKey(req.seed)
             key, sub = jax.random.split(key)
-            lg = jnp.asarray(logits).at[0].set(-1e9)
+            lg = jnp.asarray(logits_host[b]).at[0].set(-1e9)
             first = int(typical(sub, lg, temp=req.temp, tau=req.tau))
-
-            self._state = jax.tree.map(
-                lambda pool, s: pool.at[:, slot].set(s), self._state, slot_state
-            )
             self._tokens[slot] = first
             self._keys[slot] = np.array(key)
             self._temp[slot] = req.temp
