@@ -202,6 +202,18 @@ class InferencePool:
             return
         reqs = [self._queue.pop(0) for _ in range(n)]
         slots = [self._free.pop(0) for _ in range(n)]
+        try:
+            self._admit_batch(reqs, slots)
+        except BaseException:
+            # a failed prefill must not leak capacity: give the slots back
+            # and requeue the requests (the caller decides their fate —
+            # PoolRunner fails them; a retrying caller gets them again)
+            self._free = slots + self._free
+            self._queue = reqs + self._queue
+            raise
+
+    def _admit_batch(self, reqs, slots):
+        n = len(reqs)
         for req, slot in zip(reqs, slots):
             req.slot = slot
             req.decoder = StreamDecoder(self.tok)
@@ -209,11 +221,15 @@ class InferencePool:
         ids = [req.prompt_ids for req in reqs]
         K = self.prefill_bucket
         maxlen = max(len(i) for i in ids)
-        batch_state = init_state(self.cfg, (n,))
-        logits_host: list = [None] * n
+        # fixed batch width: zero-length lanes are exact no-ops, and a
+        # constant [K, B] shape means ONE compiled prefill program instead
+        # of one per burst width
+        W = self.B
+        batch_state = init_state(self.cfg, (W,))
+        chunk_lg: list = [None] * n   # last device logits per stream
         for c0 in range(0, maxlen, K):
-            chunk = np.zeros((K, n), np.int32)
-            lens = np.zeros((n,), np.int32)
+            chunk = np.zeros((K, W), np.int32)
+            lens = np.zeros((W,), np.int32)
             for b, seq in enumerate(ids):
                 part = seq[c0:c0 + K]
                 chunk[: len(part), b] = part
@@ -222,15 +238,17 @@ class InferencePool:
                 self.params, jnp.asarray(chunk),
                 jnp.asarray(lens, jnp.int32), batch_state,
             )
-            lg_np = np.asarray(lg)
+            # no host sync here: keep the device array; only the LAST
+            # chunk with valid tokens per stream holds its final logits
             for b in range(n):
                 if lens[b] > 0:
-                    logits_host[b] = lg_np[b]
+                    chunk_lg[b] = lg[b]
+        logits_host = [np.asarray(x) for x in chunk_lg]  # one sync point
 
         # scatter prefilled states into the pool slots
         slot_idx = jnp.asarray(slots, jnp.int32)
         self._state = jax.tree.map(
-            lambda pool, s: pool.at[:, slot_idx].set(s),
+            lambda pool, s: pool.at[:, slot_idx].set(s[:, :n]),
             self._state, batch_state,
         )
         for b, (req, slot) in enumerate(zip(reqs, slots)):

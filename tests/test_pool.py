@@ -120,3 +120,44 @@ def test_pool_soak_slot_recycling(pool_setup):
     by_key = {}
     for i, rid in enumerate(rids):
         by_key.setdefault((f"r{i}"[0], i % 5), out[rid])
+
+
+def test_multichunk_ragged_admission(pool_setup):
+    """Prompts longer than the prefill bucket: the pool's chunked ragged
+    admission (keep-last-logits, cross-chunk state threading, exhausted
+    streams as no-op lanes) matches per-request sequential prefill."""
+    import jax.numpy as jnp
+
+    from rwkv_tpu.models.rwkv4 import forward_seq, init_state
+
+    params, tok = pool_setup
+    pool = InferencePool(params, tok, max_streams=3, prefill_bucket=4)
+    prompts = ["a b c d e f g h i j", "short", "medium length prompt here ok"]
+    for i, p in enumerate(prompts):
+        pool.submit(p, max_tokens=1, seed=i)
+    pool._admit()
+    # compare each slot's state to a standalone sequential prefill
+    for slot, req in pool._by_slot.items():
+        ids = jnp.asarray(req.prompt_ids, jnp.int32)
+        _, st = forward_seq(params, ids, init_state(params.config),
+                            parallel=True)
+        for a, b in zip(pool._state, st):
+            np.testing.assert_allclose(np.asarray(a[:, slot]), np.asarray(b),
+                                       rtol=3e-4, atol=3e-4)
+
+
+def test_admission_failure_releases_slots(pool_setup, monkeypatch):
+    """A prefill exception must not leak slots or drop requests."""
+    params, tok = pool_setup
+    pool = InferencePool(params, tok, max_streams=2, prefill_bucket=8)
+    pool.submit("hello", max_tokens=2)
+    pool.submit("world", max_tokens=2)
+
+    def boom(*a, **k):
+        raise RuntimeError("device fell over")
+
+    monkeypatch.setattr(pool, "_jit_prefill", boom)
+    with pytest.raises(RuntimeError):
+        pool.step()
+    assert sorted(pool._free) == [0, 1]      # capacity intact
+    assert len(pool._queue) == 2             # requests preserved
