@@ -107,6 +107,7 @@ def main():
     batch = int(os.environ.get("RWKV_TPU_BENCH_BATCH", "1"))
     bin_path = os.environ.get("RWKV_TPU_BENCH_BIN")
     impl = os.environ.get("RWKV_TPU_BENCH_IMPL", "fused")
+    mode_env = os.environ.get("RWKV_TPU_BENCH_MODE", "decode")
     tile_env = os.environ.get("RWKV_TPU_BENCH_TILE")
     tile = int(tile_env) if tile_env else None
 
@@ -128,7 +129,7 @@ def main():
         # fabricate directly in the kernel's contiguous-block layout when
         # benching the fused kernel (avoids a transient 2x-family copy)
         ptile = None
-        if impl in ("fused", "fused_a8"):
+        if impl in ("fused", "fused_a8") and mode_env != "prefill":
             from rwkv_tpu.ops.pallas.decode_stack import pick_tile
 
             ptile = tile if tile else pick_tile(cfg.n_embd)

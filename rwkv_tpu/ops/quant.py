@@ -154,8 +154,12 @@ def qmatmul(
     # [..., in]); pretile_params adds a tile-block dim ([..., O/t, in, t])
     if w.ndim == q.scale.ndim + 2:
         # decode_stack.pretile_params layout [..., O/t, in, t]: contract
-        # over `in` with the tile axes as batch/free dims, then flatten —
-        # no re-transpose materialization.
+        # over `in` with the tile axes as batch/free dims, then flatten.
+        # CAVEAT: under a layer scan, XLA assigns the whole stacked weight
+        # a dot-friendly layout, materializing a FULL second copy of the
+        # large families (~8GB at 14B -> prefill OOM on a 16GB chip). The
+        # engine therefore only pretiles models whose copies fit
+        # (runtime/engine.py), and bench prefill runs unpretiled.
         nt, t_ = w.shape[-3], w.shape[-1]
         main = jnp.einsum(
             "...i,...nit->...nt", xs, w.astype(compute_dtype),

@@ -109,7 +109,13 @@ class RWKV:
             from rwkv_tpu.ops.pallas.decode_stack import pick_tile
 
             hdr = read_header(path)
-            if hdr.n_embd % 256 == 0 and hdr.n_ffn % 256 == 0:
+            # ~13E^2 per layer + head; XLA's prefill-side layout copy of
+            # the col-sliced families costs ~weights*0.55 extra HBM, so
+            # only pretile when both fit comfortably (a 14B keeps the
+            # universal layout: -0.5% decode, working prefill)
+            est_bytes = hdr.n_layer * 13 * hdr.n_embd ** 2 + 50688 * hdr.n_embd
+            if (hdr.n_embd % 256 == 0 and hdr.n_ffn % 256 == 0
+                    and est_bytes < 8e9):
                 pretile = pick_tile(hdr.n_embd)
         if self._sharding is not None:
             import math
@@ -196,9 +202,12 @@ class RWKV:
             # contiguous-block weight layout: one linear DMA per kernel
             # block (see decode_stack.pretile_params); prefill handles the
             # 4-D weights via qmatmul's einsum path. Skip if the loader
-            # already pretiled host-side (read_bin(pretile=...)).
+            # already pretiled host-side (read_bin(pretile=...)) or if the
+            # model is too big for prefill's layout-copy overhead (see
+            # load_file).
             params = signedize_params(params)
-            if params.att.key.w.ndim != 4:
+            est = cfg.n_layer * 13 * cfg.n_embd ** 2 + 50688 * cfg.n_embd
+            if params.att.key.w.ndim != 4 and est < 8e9:
                 params = pretile_params(params)
             self._step_fn = (
                 partial(forward_step_fused, a8=True) if a8
