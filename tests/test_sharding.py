@@ -158,3 +158,42 @@ def test_pod_mesh_virtual_devices():
     assert mesh.shape["model"] * mesh.shape["data"] == 8
     mesh2 = pod_mesh(model=4)
     assert mesh2.shape["model"] == 4 and mesh2.shape["data"] == 2
+
+
+def test_sharded_step_collective_count_pinned():
+    """Pin the compiled communication pattern of the TP decode step: 2
+    activation psums per block by design, plus the scalar quant-offset
+    reductions and head gathers GSPMD currently emits. A regression that
+    silently multiplies collectives would wreck multi-chip latency (see
+    docs/SCALING.md) — this test makes it loud."""
+    import re
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rwkv_tpu.models.rwkv4 import (forward_step, init_params, init_state,
+                                       pad_vocab, quantize_params)
+    from rwkv_tpu.parallel.mesh import make_mesh
+    from rwkv_tpu.parallel.sharding import shard_params, shard_state
+
+    mesh = make_mesh(model=4, data=2)
+    cfg = RWKVConfig.tiny_test(n_layer=3, n_embd=128, vocab_size=211)
+    params = pad_vocab(
+        quantize_params(init_params(jax.random.PRNGKey(0), cfg)), multiple=512
+    )
+    p = shard_params(params, mesh)
+    st = shard_state(init_state(cfg, (2,)), mesh, batched=True)
+    tok = jax.device_put(jnp.asarray([3, 5], jnp.int32),
+                         NamedSharding(mesh, P("data")))
+    with jax.sharding.set_mesh(mesh):
+        hlo = jax.jit(forward_step).lower(p, tok, st).compile().as_text()
+
+    counts = {}
+    pat = r"= \S*\s*(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)(?:-start)?\("
+    for m in re.finditer(pat, hlo):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    L = cfg.n_layer
+    # compiled today: ~11 AR (2L psums + scalar offset partials) + 7 AG + 1 CP
+    assert counts.get("all-reduce", 0) <= 4 * L + 4, counts
+    assert counts.get("all-gather", 0) <= 2 * L + 4, counts
+    assert counts.get("all-to-all", 0) + counts.get("reduce-scatter", 0) <= 2, counts
