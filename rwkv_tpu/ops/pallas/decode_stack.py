@@ -738,10 +738,11 @@ def forward_step_fused(
 ) -> Tuple[jax.Array, WKVState]:
     """Full decode step on the fused stack kernel. The L-layer body, ln_out
     and the quantized head run as one kernel whenever the padded vocab is
-    lane-aligned (models.rwkv4.pad_vocab); at B == 1 even the embedding
-    gather + ln0 fold in (token rides as a scalar-prefetch arg), making
-    the entire token -> logits step a single launch. Otherwise embed/ln0
-    stay in XLA and/or the head falls back to the standalone mm8 kernel.
+    lane-aligned (models.rwkv4.pad_vocab); at B <= 8 even the embedding
+    gathers + ln0 fold in (tokens ride as a scalar-prefetch arg, one
+    gathered emb-row input per batch element), making the entire
+    token -> logits step a single launch. Otherwise embed/ln0 stay in XLA
+    and/or the head falls back to the standalone mm8 kernel.
 
     Drop-in signature parity with models.rwkv4.forward_step for scalar or
     [B] tokens (state leaves [L, E] or [L, B, E]).

@@ -167,7 +167,8 @@ class RWKV:
         use_fused: run decode steps through the single-launch Pallas
         decode-stack kernel (ops/pallas/decode_stack.py). Default: auto —
         on when running on a real TPU backend, unsharded, with quantized
-        weights and tile-divisible dims (~2x decode throughput).
+        weights and tile-divisible dims (~3x decode throughput vs the
+        XLA step; see BENCH_NOTES.md).
 
         a8: with the fused kernel, run matvecs as native s8 x s8 MXU ops
         (W8A8) — faster on widening-bound shapes, adds ~0.4% activation-
