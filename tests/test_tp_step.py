@@ -1,0 +1,83 @@
+"""Manual shard_map TP step: parity with the unsharded model and a pinned,
+Megatron-minimal collective count (docs/SCALING.md)."""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_tpu.models.config import RWKVConfig
+from rwkv_tpu.models.rwkv4 import (
+    forward_step,
+    init_params,
+    init_state,
+    pad_vocab,
+    quantize_params,
+)
+from rwkv_tpu.parallel.mesh import make_mesh
+from rwkv_tpu.parallel.sharding import shard_params, shard_state
+from rwkv_tpu.parallel.tp_step import make_tp_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = make_mesh(model=4, data=2)
+    cfg = RWKVConfig.tiny_test(n_layer=3, n_embd=128, vocab_size=211)
+    params = pad_vocab(
+        quantize_params(init_params(jax.random.PRNGKey(0), cfg)), multiple=512
+    )
+    return mesh, cfg, params
+
+
+def test_tp_step_matches_unsharded(setup):
+    mesh, cfg, params = setup
+    B = 2
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray([3, 150], jnp.int32)
+
+    l_ref, s_ref = forward_step(params, tok, state)
+
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, params)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = step(p_sh, tok, st_sh)
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_tp_step_collective_count_minimal(setup):
+    """Exactly 2 psums + 1 gather per block, +1 psum (embed) +1 gather
+    (logits) per token — ~3x fewer collectives than the GSPMD path."""
+    mesh, cfg, params = setup
+    B = 2
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray([3, 150], jnp.int32)
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, params)
+    with jax.sharding.set_mesh(mesh):
+        hlo = step.lower(p_sh, tok, st_sh).compile().as_text()
+
+    counts = {}
+    pat = (r"= \S*\s*(all-reduce|all-gather|all-to-all|collective-permute|"
+           r"reduce-scatter)(?:-start)?\(")
+    for m in re.finditer(pat, hlo):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    L = cfg.n_layer
+    # scan rolls the per-block collectives into ONE hlo op each
+    assert counts.get("all-reduce", 0) <= 2 + 1 + 1, counts   # body ops + emb
+    assert counts.get("all-gather", 0) <= 1 + 1 + 1, counts   # gate + logits
+    assert counts.get("all-to-all", 0) == 0, counts
+
+
+def test_tp_step_requires_padded_vocab(setup):
+    mesh, cfg, _ = setup
+    raw = quantize_params(init_params(jax.random.PRNGKey(0), cfg))
+    with pytest.raises(ValueError):
+        make_tp_step(mesh, raw)
