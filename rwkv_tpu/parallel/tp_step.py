@@ -38,27 +38,25 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from rwkv_tpu.models.rwkv4 import RWKVParams, WKVState
 from rwkv_tpu.ops.layernorm import layer_norm
+from rwkv_tpu.ops.quant import QuantLinear, qmatmul
 from rwkv_tpu.ops.wkv import WKVChannelState, wkv_step
 from rwkv_tpu.parallel.sharding import param_pspecs, state_pspecs
 
 
 def _qdot_col(x_full, lin):
     """Column-parallel quantized matvec: local [B, O/tp], no comm.
-    scale/offset are replicated (indexed by the full contracted dim)."""
-    xs = x_full * lin.scale
-    main = xs @ lin.w.astype(jnp.float32)
-    off = x_full @ lin.offset
-    return main + off[:, None]
+    scale/offset are replicated (indexed by the full contracted dim).
+    Delegates to ops.quant.qmatmul so precision semantics (HIGHEST at
+    decode) match the forward_step path exactly."""
+    return qmatmul(x_full, lin)
 
 
 def _qdot_row_partial(x_loc, lin):
     """Row-parallel quantized matvec PARTIAL: scale/offset are sharded with
-    the contracted dim, so the rank-1 offset partial is folded in here and
-    the caller's psum reduces both terms in one collective."""
-    xs = x_loc * lin.scale
-    main = xs @ lin.w.astype(jnp.float32)
-    off = x_loc @ lin.offset
-    return main + off[:, None]
+    the contracted dim, so qmatmul on the local shard computes both the
+    main partial and the rank-1 offset partial — the caller's psum reduces
+    them in one collective (sum-of-partials == partial-of-sum)."""
+    return qmatmul(x_loc, lin)
 
 
 def _local_slice(vec_full, n_shards, axis_name):
@@ -71,8 +69,7 @@ def _local_slice(vec_full, n_shards, axis_name):
 def _tp_step_local(params, token, state, *, n_model: int):
     """The per-shard body. All inputs are LOCAL shards (shard_map)."""
     ax = "model"
-    B = token.shape[0]
-    Vl, E = params.emb.shape  # vocab-sharded rows
+    Vl = params.emb.shape[0]  # vocab-sharded rows
 
     # ---- embedding: vocab-sharded gather -> one [B, E] psum -------------
     i = jax.lax.axis_index(ax)
@@ -109,12 +106,9 @@ def _tp_step_local(params, token, state, *, n_model: int):
         x = x + gate * vfull
         return x, WKVState(xx, chan.aa, chan.bb, chan.pp, xx2)
 
-    def scan_body(x, layer):
-        return block(x, layer)
-
     per_layer = ((params.ln1, params.ln2, params.att, params.ffn),
                  tuple(state))
-    x, new_state = jax.lax.scan(scan_body, x, per_layer)
+    x, new_state = jax.lax.scan(block, x, per_layer)
 
     h = layer_norm(x, params.ln_out.weight, params.ln_out.bias)
     logits_loc = _qdot_col(h, params.head)          # [B, Vp/tp]
@@ -132,6 +126,10 @@ def make_tp_step(mesh: Mesh, params: RWKVParams):
     from jax.experimental.shard_map import shard_map
 
     tp = mesh.shape["model"]
+    if not isinstance(params.head, QuantLinear) or not isinstance(
+            params.att.key, QuantLinear):
+        raise TypeError("tp_step requires quantized params "
+                        "(models.rwkv4.quantize_params)")
     V = params.emb.shape[0]
     if V % tp or params.head.w.shape[-1] % tp:
         raise ValueError(
@@ -140,7 +138,7 @@ def make_tp_step(mesh: Mesh, params: RWKVParams):
         )
     pspecs = param_pspecs(params, n_model=tp)
     sspecs = state_pspecs(batched=True)
-    fn = functools.partial(_tp_step_local, n_model=mesh.shape["model"])
+    fn = functools.partial(_tp_step_local, n_model=tp)
     sm = shard_map(
         fn, mesh=mesh,
         in_specs=(pspecs, P("data"), sspecs),

@@ -65,15 +65,20 @@ def test_tp_step_collective_count_minimal(setup):
         hlo = step.lower(p_sh, tok, st_sh).compile().as_text()
 
     counts = {}
-    pat = (r"= \S*\s*(all-reduce|all-gather|all-to-all|collective-permute|"
+    # matches sync and async forms, incl. tuple-shaped "(f32[..], ..)
+    # all-reduce-start(" ops
+    pat = (r"(all-reduce|all-gather|all-to-all|collective-permute|"
            r"reduce-scatter)(?:-start)?\(")
     for m in re.finditer(pat, hlo):
         counts[m.group(1)] = counts.get(m.group(1), 0) + 1
-    L = cfg.n_layer
-    # scan rolls the per-block collectives into ONE hlo op each
-    assert counts.get("all-reduce", 0) <= 2 + 1 + 1, counts   # body ops + emb
-    assert counts.get("all-gather", 0) <= 1 + 1 + 1, counts   # gate + logits
+    # EXACT pin (scan rolls the 2 psums / 1 gather per block into one HLO
+    # op each): 2 in-scan psums + 1 embed psum; 1 in-scan gather + 1
+    # logits gather. -done/apply ops would inflate these; equality keeps
+    # the test honest against both regressions and vacuous matches.
+    assert counts.get("all-reduce", 0) == 3, counts
+    assert counts.get("all-gather", 0) == 2, counts
     assert counts.get("all-to-all", 0) == 0, counts
+    assert counts.get("reduce-scatter", 0) == 0, counts
 
 
 def test_tp_step_requires_padded_vocab(setup):
@@ -81,3 +86,10 @@ def test_tp_step_requires_padded_vocab(setup):
     raw = quantize_params(init_params(jax.random.PRNGKey(0), cfg))
     with pytest.raises(ValueError):
         make_tp_step(mesh, raw)
+
+
+def test_tp_step_rejects_dense_params(setup):
+    mesh, cfg, _ = setup
+    dense = pad_vocab(init_params(jax.random.PRNGKey(0), cfg), multiple=512)
+    with pytest.raises(TypeError):
+        make_tp_step(mesh, dense)
