@@ -123,7 +123,16 @@ def make_tp_step(mesh: Mesh, params: RWKVParams):
     running under shard_map with the layouts of parallel/sharding.py and
     3L + 2 collectives per token. token: [B] int32 (B sharded over 'data');
     state leaves [L, B, E]."""
-    from jax.experimental.shard_map import shard_map
+    # NOTE: the new jax.shard_map (v0.8+) type-checks "varying manual axes"
+    # and requires jax.lax.pvary annotations on the scan carry (x becomes
+    # model-varying through the gather/psum chain); the legacy API with
+    # check_rep=False expresses the same program without the annotations.
+    # Migrating is mechanical (pvary on the block carry) — deferred.
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.experimental.shard_map import shard_map
 
     tp = mesh.shape["model"]
     if not isinstance(params.head, QuantLinear) or not isinstance(
