@@ -42,6 +42,25 @@ from rwkv_tpu.ops.quant import QuantLinear, qmatmul
 from rwkv_tpu.ops.wkv import WKVChannelState, wkv_step
 from rwkv_tpu.parallel.sharding import param_pspecs, state_pspecs
 
+# Typed collective: an all-gather whose result is *invariant* (identical on
+# every shard) — exactly what the gate/logits gathers produce. Under
+# jax.shard_map's varying-manual-axes checking (check_vma=True) the plain
+# jax.lax.all_gather types its result as model-varying, which would poison
+# the scan carry and every replicated output downstream; the invariant form
+# keeps the whole step body check_vma-clean with zero pvary annotations.
+try:  # pragma: no cover - future public home
+    from jax.lax import all_gather_invariant as _all_gather_inv  # type: ignore
+    _CHECK_VMA = True
+except ImportError:  # pragma: no cover
+    try:
+        from jax._src.lax.parallel import (  # noqa: F401
+            all_gather_invariant as _all_gather_inv,
+        )
+        _CHECK_VMA = True
+    except ImportError:
+        from jax.lax import all_gather as _all_gather_inv
+        _CHECK_VMA = False  # plain all_gather types as varying
+
 
 def _qdot_col(x_full, lin):
     """Column-parallel quantized matvec: local [B, O/tp], no comm.
@@ -102,7 +121,7 @@ def _tp_step_local(params, token, state, *, n_model: int):
         gate_loc = jax.nn.sigmoid(_qdot_col(fr, ffn.receptance))  # [B, E/tp]
         h = jnp.square(jax.nn.relu(_qdot_col(fk, ffn.key)))       # [B, F/tp]
         vfull = jax.lax.psum(_qdot_row_partial(h, ffn.value), ax)  # psum 2
-        gate = jax.lax.all_gather(gate_loc, ax, axis=-1, tiled=True)
+        gate = _all_gather_inv(gate_loc, ax, axis=-1, tiled=True)
         x = x + gate * vfull
         return x, WKVState(xx, chan.aa, chan.bb, chan.pp, xx2)
 
@@ -114,7 +133,7 @@ def _tp_step_local(params, token, state, *, n_model: int):
     logits_loc = _qdot_col(h, params.head)          # [B, Vp/tp]
     if params.logit_bias is not None:
         logits_loc = logits_loc + params.logit_bias
-    logits = jax.lax.all_gather(logits_loc, ax, axis=-1, tiled=True)
+    logits = _all_gather_inv(logits_loc, ax, axis=-1, tiled=True)
     return logits, WKVState(*new_state)
 
 
@@ -123,17 +142,6 @@ def make_tp_step(mesh: Mesh, params: RWKVParams):
     running under shard_map with the layouts of parallel/sharding.py and
     3L + 2 collectives per token. token: [B] int32 (B sharded over 'data');
     state leaves [L, B, E]."""
-    # NOTE: the new jax.shard_map (v0.8+) type-checks "varying manual axes"
-    # and requires jax.lax.pvary annotations on the scan carry (x becomes
-    # model-varying through the gather/psum chain); the legacy API with
-    # check_rep=False expresses the same program without the annotations.
-    # Migrating is mechanical (pvary on the block carry) — deferred.
-    import warnings
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", DeprecationWarning)
-        from jax.experimental.shard_map import shard_map
-
     tp = mesh.shape["model"]
     if not isinstance(params.head, QuantLinear) or not isinstance(
             params.att.key, QuantLinear):
@@ -148,10 +156,10 @@ def make_tp_step(mesh: Mesh, params: RWKVParams):
     pspecs = param_pspecs(params, n_model=tp)
     sspecs = state_pspecs(batched=True)
     fn = functools.partial(_tp_step_local, n_model=tp)
-    sm = shard_map(
+    sm = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(pspecs, P("data"), sspecs),
         out_specs=(P("data", None), sspecs),
-        check_rep=False,
+        check_vma=_CHECK_VMA,
     )
     return jax.jit(sm)
