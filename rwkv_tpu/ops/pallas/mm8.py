@@ -60,7 +60,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("tile_o", "lhs_bf16", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_o", "lhs_bf16", "interpret", "vma"))
 def mm8(
     xs: jax.Array,        # [B, K] float32 — already scaled by r
     w: jax.Array,         # [K, O] int8 (ops.quant.to_signed)
@@ -68,8 +69,12 @@ def mm8(
     tile_o: int = 512,
     lhs_bf16: bool = False,
     interpret: bool = False,
+    vma: frozenset | None = None,
 ) -> jax.Array:
-    """(xs @ w_u8) with fused dequant-widening. Returns [B, O] float32."""
+    """(xs @ w_u8) with fused dequant-widening. Returns [B, O] float32.
+
+    vma: varying-manual-axes of the output when called inside a check_vma
+    shard_map (the TP head matvec, parallel/tp_step.py)."""
     B, K = xs.shape
     K2, O = w.shape
     assert K == K2, (xs.shape, w.shape)
@@ -99,7 +104,7 @@ def mm8(
         out_specs=pl.BlockSpec(
             (Bp, tile_o), lambda j: (0, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((Bp, Op), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, Op), jnp.float32, vma=vma),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * K * Op,
             bytes_accessed=K * Op + Bp * K * 4 + Bp * Op * 4,

@@ -85,19 +85,23 @@ def _local_slice(vec_full, n_shards, axis_name):
     return jax.lax.dynamic_slice_in_dim(vec_full, i * size, size, axis=-1)
 
 
-def _tp_step_local(params, token, state, *, n_model: int):
-    """The per-shard body. All inputs are LOCAL shards (shard_map)."""
-    ax = "model"
+def _embed_psum(params, token, ax):
+    """Vocab-sharded embedding gather -> one [B, E] psum + ln0."""
     Vl = params.emb.shape[0]  # vocab-sharded rows
-
-    # ---- embedding: vocab-sharded gather -> one [B, E] psum -------------
     i = jax.lax.axis_index(ax)
     lo = i * Vl
     rel = jnp.clip(token - lo, 0, Vl - 1)
     rows = params.emb[rel]                                  # [B, E]
     mine = ((token >= lo) & (token < lo + Vl))[:, None]
     x = jax.lax.psum(jnp.where(mine, rows, 0.0), ax)
-    x = layer_norm(x.astype(jnp.float32), params.ln0.weight, params.ln0.bias)
+    return layer_norm(x.astype(jnp.float32), params.ln0.weight,
+                      params.ln0.bias)
+
+
+def _tp_step_local(params, token, state, *, n_model: int):
+    """The per-shard body (XLA matvecs). All inputs are LOCAL shards."""
+    ax = "model"
+    x = _embed_psum(params, token, ax)
 
     def block(x, layer):
         (ln1, ln2, att, ffn), (xy, aa, bb, pp, dd) = layer
@@ -137,11 +141,91 @@ def _tp_step_local(params, token, state, *, n_model: int):
     return logits, WKVState(*new_state)
 
 
-def make_tp_step(mesh: Mesh, params: RWKVParams):
-    """Build a jitted (params, token, state) -> (logits, state) decode step
-    running under shard_map with the layouts of parallel/sharding.py and
-    3L + 2 collectives per token. token: [B] int32 (B sharded over 'data');
-    state leaves [L, B, E]."""
+def _tp_step_local_pallas(params, token, state, *, n_model: int,
+                          tile: int | None, interpret: bool):
+    """The per-shard body with fused Pallas kernels (ops/pallas/tp_halves):
+    everything between two collectives is ONE kernel, so sharded decode
+    keeps the single-chip kernel's HBM-streaming efficiency. Same layouts,
+    same 3L+2 collective schedule as the XLA body (pinned in tests)."""
+    from rwkv_tpu.ops.pallas.mm8 import mm8
+    from rwkv_tpu.ops.pallas.tp_halves import att_half, ffn_half
+
+    ax = "model"
+    x = _embed_psum(params, token, ax)
+
+    A, F = params.att, params.ffn
+    L = A.decay.shape[0]
+    decay_loc = _local_slice(A.decay, n_model, ax)   # [L, E/tp]
+    bonus_loc = _local_slice(A.bonus, n_model, ax)
+    # This body runs under check_vma=False (see make_tp_step); Pallas
+    # outputs need no varying-axes declaration there.
+    vma = None
+
+    def block(x, per_layer):
+        l, (xy, aa, bb, pp, dd) = per_layer
+        partial, aa2, bb2, pp2 = att_half(
+            l, x, xy,
+            params.ln1.weight, params.ln1.bias, A.mix_k, A.mix_v, A.mix_r,
+            A.key.scale, A.value.scale, A.receptance.scale,
+            A.key.offset, A.value.offset, A.receptance.offset,
+            A.key.w, A.value.w, A.receptance.w,
+            A.output.w, A.output.scale, A.output.offset,
+            decay_loc, bonus_loc, aa, bb, pp,
+            tile=tile, interpret=interpret, vma=vma,
+        )
+        # the new token-shift memory is replicated — recomputed here (one
+        # XLA fusion) rather than emitted from the model-varying kernel
+        xx = layer_norm(x, params.ln1.weight[l], params.ln1.bias[l])
+        x = x + jax.lax.psum(partial, ax)               # psum 1
+
+        vpart, gate_loc = ffn_half(
+            l, x, dd,
+            params.ln2.weight, params.ln2.bias, F.mix_k, F.mix_r,
+            F.key.scale, F.key.offset,
+            F.receptance.scale, F.receptance.offset,
+            F.key.w, F.receptance.w, F.value.w,
+            F.value.scale, F.value.offset,
+            tile=tile, interpret=interpret, vma=vma,
+        )
+        xx2 = layer_norm(x, params.ln2.weight[l], params.ln2.bias[l])
+        # independent collectives — XLA's async scheduler may overlap them
+        vfull = jax.lax.psum(vpart, ax)                 # psum 2
+        gate = _all_gather_inv(gate_loc, ax, axis=-1, tiled=True)
+        x = x + gate * vfull
+        return x, WKVState(xx, aa2, bb2, pp2, xx2)
+
+    x, new_state = jax.lax.scan(
+        block, x, (jnp.arange(L, dtype=jnp.int32), tuple(state))
+    )
+
+    h = layer_norm(x, params.ln_out.weight, params.ln_out.bias)
+    logits_loc = (mm8(h * params.head.scale, params.head.w,
+                      interpret=interpret, vma=vma)
+                  + (h @ params.head.offset)[:, None])  # [B, Vp/tp]
+    if params.logit_bias is not None:
+        logits_loc = logits_loc + params.logit_bias
+    logits = _all_gather_inv(logits_loc, ax, axis=-1, tiled=True)
+    return logits, WKVState(*new_state)
+
+
+def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
+                 tile: int | None = None, interpret: bool | None = None,
+                 jit: bool = True):
+    """Build a (params, token, state) -> (logits, state) decode step running
+    under shard_map with the layouts of parallel/sharding.py and 3L + 2
+    collectives per token. token: [B] int32 (B sharded over 'data');
+    state leaves [L, B, E].
+
+    body: 'pallas' runs each per-shard block half as one fused Pallas
+    kernel (single-chip kernel efficiency between collectives; requires
+    SIGNED int8 weights — models.rwkv4.signedize_params — and a local
+    channel width E/tp that is a multiple of 128). 'xla' uses plain
+    qmatmul matvecs. None auto-selects pallas when eligible.
+    interpret: run the Pallas kernels in interpreter mode (None = auto:
+    on for CPU backends, e.g. the virtual test mesh).
+    jit: wrap in jax.jit (False lets the engine compose sampling into the
+    same device program before jitting).
+    """
     tp = mesh.shape["model"]
     if not isinstance(params.head, QuantLinear) or not isinstance(
             params.att.key, QuantLinear):
@@ -153,13 +237,77 @@ def make_tp_step(mesh: Mesh, params: RWKVParams):
             f"tp_step needs the (padded) vocab divisible by model={tp}; "
             f"apply models.rwkv4.pad_vocab first (got {V})"
         )
+    E = params.emb.shape[1]
+    pallas_ok = (
+        params.att.key.w.dtype == jnp.int8
+        and params.att.key.w.ndim == 3      # pretiled 4-D layout: XLA body
+        and E % tp == 0
+        and (E // tp) % 128 == 0
+    )
+    if body is None:
+        body = "pallas" if pallas_ok else "xla"
+    if body == "pallas":
+        if not pallas_ok:
+            raise ValueError(
+                "body='pallas' requires signed int8 3-D weights "
+                "(models.rwkv4.signedize_params) and E/tp a multiple of "
+                f"128 (got dtype={params.att.key.w.dtype}, E={E}, tp={tp})"
+            )
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        fn = functools.partial(_tp_step_local_pallas, n_model=tp,
+                               tile=tile, interpret=interpret)
+    elif body == "xla":
+        fn = functools.partial(_tp_step_local, n_model=tp)
+    else:
+        raise ValueError(f"unknown body {body!r} (want 'pallas' or 'xla')")
     pspecs = param_pspecs(params, n_model=tp)
     sspecs = state_pspecs(batched=True)
-    fn = functools.partial(_tp_step_local, n_model=tp)
+    # check_vma stays ON for the XLA body. The Pallas body must disable it:
+    # pallas_call's interpret-mode lowering (the virtual-mesh test path)
+    # re-evaluates block fetches with mixed-vma operands and fails with
+    # "Primitive dynamic_slice requires varying manual axes to match ...
+    # as a temporary workaround pass check_vma=False" (jax 0.9). The typed
+    # program is identical either way; parity + collective-count tests
+    # cover both bodies.
     sm = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(pspecs, P("data"), sspecs),
         out_specs=(P("data", None), sspecs),
-        check_vma=_CHECK_VMA,
+        check_vma=_CHECK_VMA and body != "pallas",
     )
-    return jax.jit(sm)
+    return jax.jit(sm) if jit else sm
+
+
+def make_engine_step(mesh: Mesh, params: RWKVParams, **kw):
+    """A tp_step with models.rwkv4.forward_step-compatible shapes, for the
+    engine's decode jits: token scalar or [B], state leaves [L, E] or
+    [L, B, E]; B is padded up to a multiple of the 'data' axis (shard_map
+    needs the global batch divisible — padded streams compute discarded
+    garbage on zero state). NOT jitted: the engine composes sampling into
+    the same device program before jitting (runtime/engine.py)."""
+    sm = make_tp_step(mesh, params, jit=False, **kw)
+    nd = mesh.shape["data"]
+
+    def step(params, token, state):
+        unb = token.ndim == 0
+        if unb:
+            token = token[None]
+            state = jax.tree.map(lambda s: s[:, None], state)
+        B = token.shape[0]
+        Bp = -(-B // nd) * nd
+        if Bp != B:
+            token = jnp.pad(token, (0, Bp - B))
+            state = jax.tree.map(
+                lambda s: jnp.pad(s, ((0, 0), (0, Bp - B), (0, 0))), state
+            )
+        logits, st = sm(params, token, state)
+        if Bp != B:
+            logits = logits[:B]
+            st = jax.tree.map(lambda s: s[:, :B], st)
+        if unb:
+            logits = logits[0]
+            st = jax.tree.map(lambda s: s[:, 0], st)
+        return logits, st
+
+    return step

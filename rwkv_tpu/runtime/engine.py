@@ -214,6 +214,32 @@ class RWKV:
                 partial(forward_step_fused, a8=True) if a8
                 else forward_step_fused
             )
+        elif (self._sharding is not None
+                and isinstance(params.att.key, QuantLinear)):
+            # Sharded quantized decode: the manual shard_map TP step
+            # (parallel/tp_step.py) — 3L+2 collectives per token with fused
+            # per-shard Pallas kernels when E/tp is lane-aligned (auto body
+            # selection; XLA matvec body otherwise). This is what serving
+            # runs; the GSPMD fallback (~8 collectives/block) remains only
+            # for dense (unquantized) params.
+            import math
+
+            from rwkv_tpu.models.rwkv4 import pad_vocab, signedize_params
+            from rwkv_tpu.parallel.tp_step import make_engine_step
+
+            mesh = getattr(self._sharding, "mesh", self._sharding)
+            tp = mesh.shape["model"]
+            if params.head.w.shape[-1] % math.lcm(128, tp):
+                params = pad_vocab(params, multiple=math.lcm(512, 128 * tp))
+                cfg = params.config
+            params = signedize_params(params)
+            # commit the TP layout once (no-op if read_bin already placed
+            # shards; prevents a full reshard on every decode step for
+            # in-memory load_params callers)
+            from rwkv_tpu.parallel.sharding import shard_params as _commit
+
+            params = _commit(params, mesh)
+            self._step_fn = make_engine_step(mesh, params)
         else:
             self._step_fn = forward_step
         self._make_jits()

@@ -44,6 +44,39 @@ def test_sharded_engine_matches_unsharded(binfile):
     )
 
 
+def test_sharded_engine_uses_tp_step(binfile):
+    """With quantized params the engine's sharded step must be the manual
+    tp_step (minimal collectives), not the GSPMD fallback."""
+    mesh = make_mesh(model=4, data=1)
+    with jax.sharding.set_mesh(mesh):
+        eng = RWKV(sharding=ShardingContext(mesh))
+        eng.load_file(binfile)
+    from rwkv_tpu.models.rwkv4 import forward_step
+
+    assert eng._step_fn is not forward_step
+    # weights were signedized for the TP step at load
+    assert eng.params.att.key.w.dtype == jnp.int8
+
+
+def test_sharded_engine_pallas_body_end_to_end():
+    """E/tp lane-aligned: the engine auto-selects the Pallas per-shard body
+    and decode matches the unsharded engine bit-for-bit-ish."""
+    cfg = RWKVConfig(n_layer=2, n_embd=512)
+    params = quantize_params(init_params(jax.random.PRNGKey(5), cfg))
+
+    eng = RWKV()
+    eng.load_params(params, use_fused=False)
+    l_ref = np.asarray(eng.forward(42))
+
+    mesh = make_mesh(model=4, data=1)
+    with jax.sharding.set_mesh(mesh):
+        eng_tp = RWKV(sharding=ShardingContext(mesh))
+        eng_tp.load_params(params)
+        l_tp = np.asarray(eng_tp.forward(42))
+    V = l_ref.shape[-1]
+    np.testing.assert_allclose(l_tp[:V], l_ref, rtol=3e-4, atol=3e-4)
+
+
 def test_sharded_generate_deterministic(binfile):
     """Full sharded serving loop: tokenize -> prefill -> sampled decode on
     the TP mesh; same seed twice must give the same text, and it must be

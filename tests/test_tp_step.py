@@ -93,3 +93,116 @@ def test_tp_step_rejects_dense_params(setup):
     dense = pad_vocab(init_params(jax.random.PRNGKey(0), cfg), multiple=512)
     with pytest.raises(TypeError):
         make_tp_step(mesh, dense)
+
+
+# ---------------------------------------------------------------------------
+# Pallas per-shard body (ops/pallas/tp_halves.py): the serving TP step.
+# Needs E/tp lane-aligned (>= 128), so a wider fixture.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def setup_pallas():
+    from rwkv_tpu.models.rwkv4 import signedize_params
+
+    mesh = make_mesh(model=4, data=2)
+    cfg = RWKVConfig.tiny_test(n_layer=3, n_embd=512, vocab_size=211)
+    params = signedize_params(pad_vocab(
+        quantize_params(init_params(jax.random.PRNGKey(1), cfg)), multiple=512
+    ))
+    return mesh, cfg, params
+
+
+def test_tp_step_pallas_matches_unsharded(setup_pallas):
+    mesh, cfg, params = setup_pallas
+    B = 2
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray([3, 150], jnp.int32)
+
+    l_ref, s_ref = forward_step(params, tok, state)
+
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, params, body="pallas", interpret=True)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = step(p_sh, tok, st_sh)
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_tp_step_pallas_collective_count_minimal(setup_pallas):
+    """The Pallas body keeps the EXACT same minimal collective schedule as
+    the XLA body: 2 psums + 1 gather per block (+1 embed psum, +1 logits
+    gather) — kernel fusion must not change the communication pattern."""
+    mesh, cfg, params = setup_pallas
+    B = 2
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray([3, 150], jnp.int32)
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, params, body="pallas", interpret=True)
+    with jax.sharding.set_mesh(mesh):
+        hlo = step.lower(p_sh, tok, st_sh).compile().as_text()
+
+    counts = {}
+    pat = (r"(all-reduce|all-gather|all-to-all|collective-permute|"
+           r"reduce-scatter)(?:-start)?\(")
+    for m in re.finditer(pat, hlo):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    assert counts.get("all-reduce", 0) == 3, counts
+    assert counts.get("all-gather", 0) == 2, counts
+    assert counts.get("all-to-all", 0) == 0, counts
+    assert counts.get("reduce-scatter", 0) == 0, counts
+
+
+def test_tp_step_auto_body_selection(setup_pallas):
+    """body=None picks pallas when E/tp is lane-aligned, xla otherwise;
+    requesting pallas on an ineligible model raises."""
+    mesh, cfg, params = setup_pallas
+    # E=512, tp=4 -> E/tp=128: eligible (builds without error)
+    make_tp_step(mesh, params, interpret=True)
+    # E=128, tp=4 -> E/tp=32: must fall back, and explicit pallas raises
+    cfg2 = RWKVConfig.tiny_test(n_layer=2, n_embd=128, vocab_size=211)
+    from rwkv_tpu.models.rwkv4 import signedize_params
+
+    p2 = signedize_params(pad_vocab(
+        quantize_params(init_params(jax.random.PRNGKey(2), cfg2)),
+        multiple=512,
+    ))
+    make_tp_step(mesh, p2)  # auto -> xla, fine
+    with pytest.raises(ValueError):
+        make_tp_step(mesh, p2, body="pallas")
+
+
+def test_engine_step_adapter(setup_pallas):
+    """make_engine_step: scalar-token/unbatched-state and non-data-divisible
+    batches round-trip through the padded shard_map call."""
+    from rwkv_tpu.parallel.tp_step import make_engine_step
+
+    mesh, cfg, params = setup_pallas
+    p_sh = shard_params(params, mesh)
+    step = make_engine_step(mesh, params, body="pallas", interpret=True)
+
+    # unbatched
+    state = init_state(cfg)
+    l_ref, s_ref = forward_step(params, jnp.asarray(7, jnp.int32), state)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = jax.jit(step)(p_sh, jnp.asarray(7, jnp.int32), state)
+    assert l_tp.shape == l_ref.shape
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+    # B=3 not divisible by data=2
+    state = init_state(cfg, (3,))
+    tok = jnp.asarray([3, 150, 9], jnp.int32)
+    l_ref, s_ref = forward_step(params, tok, state)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = jax.jit(step)(p_sh, tok, state)
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
