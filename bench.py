@@ -13,8 +13,13 @@ Env knobs:
   RWKV_TPU_BENCH_BIN    — optional path to a real .bin checkpoint
   RWKV_TPU_BENCH_IMPL   — 'fused' (Pallas decode-stack kernel, default),
                           'fused_a8' (native s8xs8 MXU, no widening pass;
-                          adds activation-quant noise), or
-                          'xla' (plain jnp forward_step)
+                          adds activation-quant noise),
+                          'xla' (plain jnp forward_step), or
+                          'tp' (the sharded serving step on a 1-device
+                          mesh: shard_map + per-shard Pallas half-kernels
+                          — the tp=1 sanity number for multi-chip decode;
+                          the gap to 'fused' is the per-layer kernel-split
+                          + collective-schedule overhead)
   RWKV_TPU_BENCH_BATCH  — number of independent decode streams (default 1);
                           >1 reports aggregate tokens/s (continuous batching)
   RWKV_TPU_BENCH_TILE   — fused kernel tile (default auto)
@@ -119,9 +124,20 @@ def main():
     )
 
     if bin_path:
-        from rwkv_tpu.io.binfmt import read_bin
+        from rwkv_tpu.io.binfmt import read_bin, read_header
 
-        params = read_bin(bin_path, pad_vocab_to=512)
+        # Host-side contiguous-block re-layout at read time for the fused
+        # decode bench: an on-device pretile_params would transiently hold
+        # BOTH layouts of each big family (~4GB extra at 14B) and OOM the
+        # 16GB chip — same gate as runtime/engine.load_file.
+        ptile = None
+        if impl in ("fused", "fused_a8") and mode_env != "prefill":
+            hdr = read_header(bin_path)
+            if hdr.n_embd % 256 == 0 and hdr.n_ffn % 256 == 0:
+                from rwkv_tpu.ops.pallas.decode_stack import pick_tile
+
+                ptile = tile if tile else pick_tile(hdr.n_embd)
+        params = read_bin(bin_path, pad_vocab_to=512, pretile=ptile)
         cfg = params.config
     else:
         cfg = getattr(RWKVConfig, f"rwkv4_{name}")()
@@ -154,6 +170,14 @@ def main():
             params = pretile_params(params, tile=tile)
         step_fn = functools.partial(forward_step_fused, tile=tile,
                                     a8=(impl == "fused_a8"))
+    elif impl == "tp":
+        from rwkv_tpu.models.rwkv4 import signedize_params
+        from rwkv_tpu.parallel.mesh import make_mesh
+        from rwkv_tpu.parallel.tp_step import make_engine_step
+
+        params = signedize_params(params)
+        mesh = make_mesh(model=1, data=1)
+        step_fn = make_engine_step(mesh, params, body="pallas", tile=tile)
     else:
         step_fn = forward_step
 

@@ -326,22 +326,29 @@ void pretokenize(const std::string& text, std::vector<std::string>& out) {
 
         if (!led_space && cp_is_space(c)) {
             // \s+(?!\S) | \s+  : take the whitespace run; if a non-space
-            // follows, leave the last space for it.
+            // follows, leave the LAST space codepoint for the next match
+            // (an ASCII ' ' joins it via the " ?" prefix; any other space
+            // becomes its own single-codepoint token, exactly like the
+            // regex backtracking). The run must be counted in CODEPOINTS:
+            // counting bytes made a single 2-byte space (NBSP) look like a
+            // run of two, back up over itself, and loop forever (caught by
+            // tests/fixtures/golden_tokens.json case "nbsp\xc2\xa0space").
             const char* ws_start = s.p;
+            const char* last_cp = s.p;
+            size_t run_cp = 0;
             while (!s.done()) {
                 size_t l3;
                 uint32_t c3 = s.peek(&l3);
                 if (!cp_is_space(c3)) break;
+                last_cp = s.p;
                 s.p += l3;
+                run_cp++;
             }
             const char* ws_end = s.p;
-            if (!s.done() && ws_end - ws_start > 1) {
-                // lookahead failed for the last space; it prefixes next token
-                ws_end -= 1;  // ASCII space is 1 byte; non-ASCII trailing
-                // spaces: back up one full codepoint
-                while (ws_end > ws_start &&
-                       (static_cast<unsigned char>(*ws_end) & 0xC0) == 0x80)
-                    --ws_end;
+            if (!s.done() && run_cp > 1) {
+                // lookahead failed for the last space; it prefixes (or
+                // forms) the next token
+                ws_end = last_cp;
                 s.p = ws_end;
             }
             if (ws_end > ws_start) out.emplace_back(ws_start, ws_end - ws_start);

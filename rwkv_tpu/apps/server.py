@@ -5,7 +5,7 @@ Stdlib-only (the reference ethos is dependency-free). Endpoints:
 
   POST /complete   {"prompt": str, "max_tokens": int?, "temp": float?,
                     "tau": float?, "stop": [str]?, "seed": int?,
-                    "stream": bool?}
+                    "ban_tokens": [int]?, "stream": bool?}
                 -> {"completion": str, "tokens": int}
                    (stream:true -> chunked text/event-stream of
                     data: {"text": piece} lines, closed by data: [DONE])
@@ -157,12 +157,20 @@ def make_handler(eng, lock, runner=None):
                     max_tokens = min(int(req.get("max_tokens", 128)), 2048)
                 except (TypeError, ValueError):
                     return self._json(400, {"error": "bad 'max_tokens'"})
+                ban = req.get("ban_tokens", [0])
+                if (not isinstance(ban, list)
+                        or not all(isinstance(t, int) and 0 <= t for t in ban)):
+                    return self._json(
+                        400, {"error": "'ban_tokens' must be a list of "
+                                       "non-negative token ids"})
+                ban = [t for t in ban if t < eng._true_vocab]
                 kw = dict(
                     max_tokens=max_tokens,
                     temp=float(req.get("temp", 0.9)),
                     tau=float(req.get("tau", 0.8)),
                     seed=int(req.get("seed", 0)),
                     stop=stop,
+                    ban_tokens=tuple(ban),
                 )
                 if req.get("stream"):
                     return self._stream_complete(prompt, kw)

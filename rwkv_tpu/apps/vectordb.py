@@ -38,14 +38,19 @@ class StateVectorDB:
         self.vecs.append(self._embed(text))
 
     def add_batch(self, texts: list[str], bucket: int = 128) -> None:
-        """Index many texts in ONE batched prefill (forward_seq over
-        [T, B]) — the reference indexes facts one forward at a time
-        (vectordb.cpp:28-35); here B documents cost one weight sweep.
+        """Index many texts in batched prefill sweeps (forward_seq over
+        [bucket, B] with ragged per-stream lengths) — the reference indexes
+        facts one forward at a time (vectordb.cpp:28-35); here B documents
+        cost ceil(maxlen/bucket) weight sweeps total.
 
-        Shorter documents are right-aligned; their leading positions carry
-        token 0 (<|endoftext|>), which acts as a document boundary — the
-        resulting embeddings are not bit-identical to one-at-a-time
-        indexing but rank equivalently (tests/test_apps.py)."""
+        Documents longer than `bucket` are NOT truncated: state threads
+        through as many chunked sweeps as the longest document needs
+        (streams that ran out of tokens are exact no-ops via the ragged
+        length mask), so batch embeddings ingest the same full text as
+        add()/_embed — not bit-identical to one-at-a-time indexing (the
+        single path chunks through the engine's own buckets) but the same
+        summary of the same tokens, ranking equivalently
+        (tests/test_apps.py)."""
         import jax.numpy as jnp
 
         from rwkv_tpu.models.rwkv4 import forward_seq, init_state
@@ -53,19 +58,21 @@ class StateVectorDB:
         if not texts:
             return
         ids = [self.eng.tokenizer.encode(t) or [0] for t in texts]
-        T = min(max(len(i) for i in ids), bucket)
         B = len(texts)
-        toks = np.zeros((T, B), np.int32)
-        for b, seq in enumerate(ids):
-            seq = seq[:T]
-            # right-align so every column's LAST token is real (the state
-            # after position T-1 is the document summary)
-            toks[T - len(seq):, b] = seq
+        maxlen = max(len(i) for i in ids)
         state = init_state(self.eng.config, (B,))
-        _, state = forward_seq(
-            self.eng.params, jnp.asarray(toks), state, parallel=True,
-            compute_dtype=self.eng.prefill_dtype,
-        )
+        for c0 in range(0, maxlen, bucket):
+            T = min(bucket, maxlen - c0)
+            toks = np.zeros((T, B), np.int32)
+            lens = np.zeros((B,), np.int32)
+            for b, seq in enumerate(ids):
+                part = seq[c0:c0 + T]
+                toks[: len(part), b] = part
+                lens[b] = len(part)
+            _, state = forward_seq(
+                self.eng.params, jnp.asarray(toks), state, parallel=True,
+                length=jnp.asarray(lens), compute_dtype=self.eng.prefill_dtype,
+            )
         dd = np.asarray(state.dd)  # [L, B, E]
         for b, text in enumerate(texts):
             v = dd[-1, b] if self.layers == "last" else dd[:, b].reshape(-1)

@@ -1,0 +1,514 @@
+"""Tensor-parallel fused decode stack with IN-KERNEL collectives.
+
+ops/pallas/tp_halves.py splits each block at its two reduction points into
+two Pallas kernels with XLA collectives between them — correct, but every
+layer pays two kernel boundaries (pipeline drain + launch) and the
+collectives sit exposed between kernels. This module is the
+speed-of-light version: the ENTIRE per-shard decode step — all L layers,
+ln_out and the local head shard — is ONE Pallas kernel per chip, and the
+three per-layer collectives run as remote DMAs (ICI RDMA) issued inside
+the kernel:
+
+  att out-projection partial  [B, E]  -> direct all-exchange + local sum
+  ffn value partial           [B, E]  -> direct all-exchange + local sum
+  ffn sigmoid gate            [B,E/tp]-> direct all-gather
+
+Direct exchange (every chip RDMAs its contribution to every peer's slot,
+then sums/concatenates locally) is chosen over a ring because decode
+payloads are tiny (B·E·4 = 20-160 KB) — latency-bound, so one RDMA phase
+beats 2(tp-1) ring phases; the tp× bandwidth overcost is noise next to
+the 10s-of-MB/layer weight stream.
+
+Overlap structure (the point of fusing): sends are issued the moment a
+partial is complete and waited only where the data is consumed —
+  * the gate exchange is issued n_att ffn-steps before its use at the
+    residual update, hiding it entirely behind the ffn value matvecs;
+  * the att/value exchanges ride the automatically-prefetched next-phase
+    weight DMAs, so their exposure is ~one RDMA latency per reduction,
+    with zero kernel-launch or XLA-dispatch overhead on top;
+  * the ffn value + gate exchanges of layer l are both waited at layer
+    l+1's first step, so they fly concurrently.
+
+Weights stream tile-by-tile exactly as in the single-chip kernel
+(ops/pallas/decode_stack.py) — every weight byte read once per token at
+HBM speed. tp=1 compiles with no communication code at all (the pure
+fused per-shard stack; bench.py impl 'tpfused').
+
+The reference has no analog (single GPU by construction,
+include/rwkv/cuda/rwkv.cu); this is the TPU-native design for the
+BASELINE.json north star (>=0.9x linear multi-chip decode scaling).
+Validated against the unsharded oracle on a virtual mesh via Pallas's
+TPU interpret mode, which simulates inter-chip DMAs (tests/test_decode_stack_tp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rwkv_tpu.models.rwkv4 import RWKVParams, WKVState
+from rwkv_tpu.ops.pallas.decode_stack import _bsum, _dot, _ln
+
+
+def _decode_stack_tp_kernel(
+    *refs,
+    tp: int, n_att: int, n_ffn: int, tile: int, n_layer: int, n_head: int,
+    model_axis: str, data_axis: str | None,
+):
+    (
+        x_in,                                   # [Bp, E] post-ln0 (replicated)
+        ln1_w, ln1_b, ln2_w, ln2_b,             # [1, E] layer blocks
+        mix_k, mix_v, mix_r, fmix_k, fmix_r,    # [1, E]
+        kr, vr, rr, ko, vo, ro,                 # [1, E]
+        fkr, fko, gr, go,                       # [1, E]
+        decay, bonus,                           # [1, T] local att tiles
+        xy_in, dd_in,                           # [1, Bp, E]
+        aa_in, bb_in, pp_in,                    # [1, Bp, T] local tiles
+        km, vm, rm,                             # [1, E, T] i8 col shards
+        wout, wout_r, wout_o,                   # [1, T, E] i8 / [1, T]
+        wg,                                     # [1, E, T] i8 (gate)
+        ffnk,                                   # [1, E, T] i8
+        ffnv, fvr, fvo,                         # [1, T, E] i8 / [1, T]
+        lnout_w, lnout_b,                       # [1, E]
+        hw, hr, ho,                             # [E, HT] i8 / [1, E]
+    ) = refs[:35]
+    i = 35
+    (
+        xy_out, dd_out,                         # [1, Bp, E]
+        aa_out, bb_out, pp_out,                 # [1, Bp, T]
+        logits_out,                             # [Bp, HT] tile of [Bp, Vl]
+    ) = refs[i:i + 6]
+    i += 6
+    it = iter(refs[i:])
+    xcur = next(it)                             # [Bp, E]
+    xs_k, xs_v, xs_r, xs_fk, xs_fr, xs_h = (
+        next(it), next(it), next(it), next(it), next(it), next(it))
+    att_acc, vacc = next(it), next(it)          # [Bp, E] partials
+    gate_buf = next(it)                         # [Bp, El] local gate
+    offs = next(it)                             # [8, Bp, 128]
+    if tp > 1:
+        att_recv, v_recv = next(it), next(it)   # [tp, Bp, E]
+        gate_recv = next(it)                    # [tp, Bp, El]
+        att_send_sem, att_recv_sem = next(it), next(it)
+        v_send_sem, v_recv_sem = next(it), next(it)
+        gate_send_sem, gate_recv_sem = next(it), next(it)
+
+    S = n_att + n_ffn
+    t = pl.program_id(0)
+    l = jnp.minimum(t // S, n_layer - 1)
+    s = t - l * S                    # head phase (l = L-1) => s in [S, S+H)
+
+    OFFK, OFFV, OFFR, OUTO, FFK, FFR, FFV, HOF = range(8)
+
+    if tp > 1:
+        my = jax.lax.axis_index(model_axis)
+        base = (jax.lax.axis_index(data_axis) * tp
+                if data_axis is not None else 0)
+
+        def _peer(off):
+            return base + jax.lax.rem(my + off, tp)
+
+        def _xchg_start(src_ref, recv_ref, send_sem, recv_sem):
+            """Direct exchange: own contribution into my slot locally, RDMA
+            it into slot[my] on every peer."""
+            recv_ref[my] = src_ref[:]
+            for off in range(1, tp):
+                pltpu.make_async_remote_copy(
+                    src_ref=src_ref, dst_ref=recv_ref.at[my],
+                    send_sem=send_sem, recv_sem=recv_sem,
+                    device_id=_peer(off),
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                ).start()
+
+        def _xchg_wait(src_ref, recv_ref, send_sem, recv_sem):
+            for off in range(1, tp):
+                d = pltpu.make_async_remote_copy(
+                    src_ref=src_ref, dst_ref=recv_ref.at[my],
+                    send_sem=send_sem, recv_sem=recv_sem,
+                    device_id=_peer(off),
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+                d.wait_send()
+                d.wait_recv()
+
+        # chips may enter the kernel at different times; no RDMA may land
+        # before its target allocated scratch — barrier once at t == 0
+        @pl.when(t == 0)
+        def _():
+            bar = pltpu.get_barrier_semaphore()
+            for off in range(1, tp):
+                pltpu.semaphore_signal(
+                    bar, inc=1, device_id=_peer(off),
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(bar, tp - 1)
+
+    def _finish_ffn():
+        """Complete the PREVIOUS layer's gate + value exchanges and apply
+        its residual update. (Deferred to here so both exchanges fly while
+        that layer's tail compute and this phase's first weight DMAs run.)"""
+        if tp > 1:
+            _xchg_wait(gate_buf, gate_recv, gate_send_sem, gate_recv_sem)
+            _xchg_wait(vacc, v_recv, v_send_sem, v_recv_sem)
+            El = gate_buf.shape[-1]
+            vsum = v_recv[0]
+            for p in range(1, tp):
+                vsum = vsum + v_recv[p]
+            for p in range(tp):
+                xcur[:, p * El:(p + 1) * El] += (
+                    gate_recv[p] * vsum[:, p * El:(p + 1) * El])
+        else:
+            xcur[:] += gate_buf[:] * vacc[:]
+
+    # ------------------------------------------------------------- att init
+    @pl.when(s == 0)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            xcur[:] = x_in[:]
+
+        @pl.when(l > 0)
+        def _():
+            _finish_ffn()
+
+        xx = _ln(xcur[:], ln1_w[0], ln1_b[0])
+        xy = xy_in[0]
+        mk, mv, mr = mix_k[0], mix_v[0], mix_r[0]
+        ik = mk * xx + (1.0 - mk) * xy
+        iv = mv * xx + (1.0 - mv) * xy
+        ir = mr * xx + (1.0 - mr) * xy
+        xy_out[0] = xx
+        xs_k[:] = ik * kr[0]
+        xs_v[:] = iv * vr[0]
+        xs_r[:] = ir * rr[0]
+        offs[OFFK] = _bsum(ik * ko[0])
+        offs[OFFV] = _bsum(iv * vo[0])
+        offs[OFFR] = _bsum(ir * ro[0])
+        offs[OUTO] = jnp.zeros_like(offs[OUTO])
+        att_acc[:] = jnp.zeros_like(att_acc)
+
+    # ------------------------------------------------------------- att tiles
+    @pl.when(s < n_att)
+    def _():
+        k_t = _dot(xs_k[:], km[0]) + offs[OFFK][:, :1]
+        v_t = _dot(xs_v[:], vm[0]) + offs[OFFV][:, :1]
+        r_t = _dot(xs_r[:], rm[0]) + offs[OFFR][:, :1]
+
+        w_t, u_t = decay[0], bonus[0]
+        aa, bb, pp = aa_in[0], bb_in[0], pp_in[0]
+        ww = u_t + k_t
+        q = jnp.maximum(pp, ww)
+        e1 = jnp.exp(pp - q)
+        e2 = jnp.exp(ww - q)
+        ywkv = (e1 * aa + e2 * v_t) / (e1 * bb + e2)
+        ww2 = pp + w_t
+        p2 = jnp.maximum(ww2, k_t)
+        f1 = jnp.exp(ww2 - p2)
+        f2 = jnp.exp(k_t - p2)
+        aa_out[0] = f1 * aa + f2 * v_t
+        bb_out[0] = f1 * bb + f2
+        pp_out[0] = p2
+
+        rwkv_t = (1.0 / (1.0 + jnp.exp(-r_t))) * ywkv
+        att_acc[:] += _dot(rwkv_t * wout_r[0], wout[0])
+        offs[OUTO] += _bsum(rwkv_t * wout_o[0])
+
+        @pl.when(s == n_att - 1)
+        def _():
+            # partial complete: fold the rank-1 offset term and ship
+            att_acc[:] += offs[OUTO][:, :1]
+            if tp > 1:
+                _xchg_start(att_acc, att_recv, att_send_sem, att_recv_sem)
+
+    # ------------------------------------------------------------- gate init
+    @pl.when(s == n_att)
+    def _():
+        if tp > 1:
+            _xchg_wait(att_acc, att_recv, att_send_sem, att_recv_sem)
+            asum = att_recv[0]
+            for p in range(1, tp):
+                asum = asum + att_recv[p]
+            xcur[:] += asum
+        else:
+            xcur[:] += att_acc[:]
+        xx2 = _ln(xcur[:], ln2_w[0], ln2_b[0])
+        dd = dd_in[0]
+        fk, fr = fmix_k[0], fmix_r[0]
+        ik = fk * xx2 + (1.0 - fk) * dd
+        ir = fr * xx2 + (1.0 - fr) * dd
+        dd_out[0] = xx2
+        xs_fk[:] = ik * fkr[0]
+        xs_fr[:] = ir * gr[0]
+        offs[FFK] = _bsum(ik * fko[0])
+        offs[FFR] = _bsum(ir * go[0])
+        offs[FFV] = jnp.zeros_like(offs[FFV])
+        vacc[:] = jnp.zeros_like(vacc)
+
+    # ------------------------------------------- ffn tiles (gate rides along)
+    @pl.when(jnp.logical_and(s >= n_att, s < S))
+    def _():
+        j = s - n_att
+
+        @pl.when(j < n_att)
+        def _():
+            g_t = _dot(xs_fr[:], wg[0]) + offs[FFR][:, :1]
+            gate_buf[:, pl.ds(j * tile, tile)] = 1.0 / (1.0 + jnp.exp(-g_t))
+
+            @pl.when(j == n_att - 1)
+            def _():
+                # gate shard complete: ship now, consumed (tp-1)·n_att
+                # ffn steps later — fully hidden behind the value matvecs
+                if tp > 1:
+                    _xchg_start(gate_buf, gate_recv,
+                                gate_send_sem, gate_recv_sem)
+
+        h_t = _dot(xs_fk[:], ffnk[0]) + offs[FFK][:, :1]
+        h_t = jnp.maximum(h_t, 0.0)
+        h_t = h_t * h_t
+        vacc[:] += _dot(h_t * fvr[0], ffnv[0])
+        offs[FFV] += _bsum(h_t * fvo[0])
+
+        @pl.when(s == S - 1)
+        def _():
+            vacc[:] += offs[FFV][:, :1]
+            if tp > 1:
+                _xchg_start(vacc, v_recv, v_send_sem, v_recv_sem)
+
+    # --------------------------------------------------- ln_out + head tiles
+    @pl.when(s == S)  # only reachable on the last layer
+    def _():
+        _finish_ffn()
+        h = _ln(xcur[:], lnout_w[0], lnout_b[0])
+        xs_h[:] = h * hr[0]
+        offs[HOF] = _bsum(h * ho[0])
+
+    @pl.when(s >= S)
+    def _():
+        logits_out[:] = _dot(xs_h[:], hw[:]) + offs[HOF][:, :1]
+
+
+def pick_tp_fused_tile(n_embd: int, e_loc: int, tp: int, bp: int = 8,
+                       vmem_budget: int = 15 * 1024 * 1024) -> int:
+    """Largest 128-multiple tile dividing E_loc whose double-buffered weight
+    streams fit beside the activation/exchange scratch.
+
+    Streams per grid step: att 4 blocks of E x tile i8, ffn 3 (the wider
+    phase is att) -> 8·E·tile double-buffered; scratch: ~11 [Bp, E] f32
+    activation vectors + 2 [tp, Bp, E] + 1 [tp, Bp, E/tp] exchange buffers.
+    """
+    scratch = (11 * bp * n_embd + 2 * tp * bp * n_embd + bp * n_embd) * 4
+    for t in (512, 384, 256, 128):
+        if e_loc % t == 0 and 8 * n_embd * t + scratch <= vmem_budget:
+            return t
+    raise ValueError(
+        f"no feasible tile: E={n_embd}, E_loc={e_loc}, tp={tp} "
+        f"(scratch {scratch} bytes)"
+    )
+
+
+def pick_tp_head_tile(n_embd: int, tile: int, v_loc: int,
+                      vmem_budget: int = 15 * 1024 * 1024) -> int:
+    """Widest 128-multiple divisor of the LOCAL vocab shard whose blocks fit
+    beside the layer streams (same logic as decode_stack.pick_head_tile)."""
+    layer_bytes = 8 * n_embd * tile
+    for ht in range(v_loc, 127, -128):
+        if v_loc % ht == 0 and layer_bytes + 2 * n_embd * ht <= vmem_budget:
+            return ht
+    return 128
+
+
+def decode_stack_tp(
+    x: jax.Array,            # [B, E] post-ln0 (replicated across shards)
+    params: RWKVParams,      # LOCAL shards (inside shard_map), signed int8
+    state: WKVState,         # xy/dd [L, B, E]; aa/bb/pp [L, B, E/tp]
+    decay_loc: jax.Array,    # [L, E/tp] this shard's channels
+    bonus_loc: jax.Array,
+    *,
+    tp: int,
+    tile: int | None = None,
+    head_tile: int | None = None,
+    interpret=False,
+    model_axis: str = "model",
+    data_axis: str | None = "data",
+    vma: frozenset | None = None,
+) -> Tuple[jax.Array, WKVState]:
+    """One decode step on this shard, all layers + local head in ONE kernel
+    with in-kernel collectives. Returns (logits_loc [B, Vp/tp], new_state).
+    Call under shard_map; the caller all-gathers the logits."""
+    att, ffn = params.att, params.ffn
+    if att.key.w.dtype != jnp.int8:
+        raise TypeError("decode_stack_tp requires signed int8 weights")
+    if att.key.w.ndim != 3:
+        raise ValueError("decode_stack_tp requires the 3-D weight layout")
+    L = att.decay.shape[0]
+    B, E = x.shape
+    El = att.key.w.shape[-1]
+    Fl = ffn.key.w.shape[-1]
+    Vl = params.head.w.shape[-1]
+    if tile is None:
+        tile = pick_tp_fused_tile(E, El, tp)
+    assert El % tile == 0 and Fl % tile == 0, (El, Fl, tile)
+    n_att, n_ffn = El // tile, Fl // tile
+    assert n_ffn >= n_att, "gate tiles ride the first ffn steps (F = 4E)"
+    S = n_att + n_ffn
+    if head_tile is None:
+        head_tile = pick_tp_head_tile(E, tile, Vl)
+    assert Vl % head_tile == 0, (Vl, head_tile)
+    n_head = Vl // head_tile
+
+    Bp = max(8, -(-B // 8) * 8)
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+        state = WKVState(
+            *(jnp.pad(s_, ((0, 0), (0, Bp - B), (0, 0))) for s_ in state)
+        )
+
+    f32 = jnp.float32
+
+    def clamp(v, lo, hi):
+        return jnp.minimum(jnp.maximum(v, lo), hi)
+
+    def _l(t):
+        return jnp.minimum(t // S, L - 1)
+
+    def _s(t):
+        return t - _l(t) * S
+
+    j_att = lambda t: clamp(_s(t), 0, n_att - 1)                # noqa: E731
+    j_gate = lambda t: clamp(_s(t) - n_att, 0, n_att - 1)       # noqa: E731
+    j_ffn = lambda t: clamp(_s(t) - n_att, 0, n_ffn - 1)        # noqa: E731
+    j_head = lambda t: clamp(_s(t) - S, 0, max(n_head - 1, 0))  # noqa: E731
+
+    def r3(a):
+        return a.reshape(a.shape[0], 1, a.shape[1])
+
+    def row(width):
+        return pl.BlockSpec((1, 1, width), lambda t: (_l(t), 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    att_vec = pl.BlockSpec((1, 1, tile), lambda t: (_l(t), 0, j_att(t)),
+                           memory_space=pltpu.VMEM)
+    ffn_vec = pl.BlockSpec((1, 1, tile), lambda t: (_l(t), 0, j_ffn(t)),
+                           memory_space=pltpu.VMEM)
+    full_state = pl.BlockSpec((1, Bp, E), lambda t: (_l(t), 0, 0),
+                              memory_space=pltpu.VMEM)
+    chan_state = pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+                              memory_space=pltpu.VMEM)
+
+    def colT(jm):
+        return pl.BlockSpec((1, E, tile), lambda t: (_l(t), 0, jm(t)),
+                            memory_space=pltpu.VMEM)
+
+    def rowT(jm):
+        return pl.BlockSpec((1, tile, E), lambda t: (_l(t), jm(t), 0),
+                            memory_space=pltpu.VMEM)
+
+    r2 = lambda a: a.reshape(1, a.shape[0])  # noqa: E731
+
+    in_specs = [
+        pl.BlockSpec((Bp, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        row(E), row(E), row(E), row(E),                   # ln1/ln2 w,b
+        row(E), row(E), row(E), row(E), row(E),           # mixes
+        row(E), row(E), row(E), row(E), row(E), row(E),   # kr vr rr ko vo ro
+        row(E), row(E), row(E), row(E),                   # fkr fko gr go
+        att_vec, att_vec,                                  # decay, bonus
+        full_state, full_state,                            # xy, dd
+        chan_state, chan_state, chan_state,                # aa bb pp
+        colT(j_att), colT(j_att), colT(j_att),             # km vm rm
+        rowT(j_att), att_vec, att_vec,                     # wout, wout_r/o
+        colT(j_gate),                                      # wg
+        colT(j_ffn),                                       # ffnk
+        rowT(j_ffn), ffn_vec, ffn_vec,                     # ffnv, fvr, fvo
+        pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, head_tile), lambda t: (0, j_head(t)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((1, Bp, E), lambda t: (_l(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bp, E), lambda t: (_l(t), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bp, head_tile), lambda t: (0, j_head(t)),
+                     memory_space=pltpu.VMEM),
+    )
+    sds = functools.partial(jax.ShapeDtypeStruct, dtype=f32, vma=vma)
+    out_shape = (
+        sds((L, Bp, E)), sds((L, Bp, E)),
+        sds((L, Bp, El)), sds((L, Bp, El)), sds((L, Bp, El)),
+        sds((Bp, Vl)),
+    )
+
+    operands = [
+        x,
+        r3(params.ln1.weight), r3(params.ln1.bias),
+        r3(params.ln2.weight), r3(params.ln2.bias),
+        r3(att.mix_k), r3(att.mix_v), r3(att.mix_r),
+        r3(ffn.mix_k), r3(ffn.mix_r),
+        r3(att.key.scale), r3(att.value.scale), r3(att.receptance.scale),
+        r3(att.key.offset), r3(att.value.offset), r3(att.receptance.offset),
+        r3(ffn.key.scale), r3(ffn.key.offset),
+        r3(ffn.receptance.scale), r3(ffn.receptance.offset),
+        r3(decay_loc), r3(bonus_loc),
+        state.xy, state.dd,
+        state.aa, state.bb, state.pp,
+        att.key.w, att.value.w, att.receptance.w,
+        att.output.w, r3(att.output.scale), r3(att.output.offset),
+        ffn.receptance.w,
+        ffn.key.w,
+        ffn.value.w, r3(ffn.value.scale), r3(ffn.value.offset),
+        r2(params.ln_out.weight), r2(params.ln_out.bias),
+        params.head.w, r2(params.head.scale), r2(params.head.offset),
+    ]
+
+    # xcur + 6 xs_* + att_acc + vacc = 9 [Bp, E] f32 buffers
+    scratch = [pltpu.VMEM((Bp, E), f32) for _ in range(9)]
+    scratch += [pltpu.VMEM((Bp, El), f32)]                  # gate_buf
+    scratch += [pltpu.VMEM((8, Bp, 128), f32)]              # offs
+    if tp > 1:
+        scratch += [pltpu.VMEM((tp, Bp, E), f32),           # att_recv
+                    pltpu.VMEM((tp, Bp, E), f32),           # v_recv
+                    pltpu.VMEM((tp, Bp, El), f32)]          # gate_recv
+        scratch += [pltpu.SemaphoreType.DMA(()) for _ in range(6)]
+
+    kernel = functools.partial(
+        _decode_stack_tp_kernel,
+        tp=tp, n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L, n_head=n_head,
+        model_axis=model_axis, data_axis=data_axis,
+    )
+    weight_bytes = L * (3 * E * El + El * E + E * El + E * Fl + Fl * E) + E * Vl
+    outs = pl.pallas_call(
+        kernel,
+        grid=(L * S + n_head,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=0,
+        ) if tp > 1 else None,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * weight_bytes,
+            bytes_accessed=weight_bytes,
+            transcendentals=L * Bp * (4 * El + Fl),
+        ),
+    )(*operands)
+
+    xy, dd, aa, bb, pp = outs[:5]
+    logits_loc = outs[5][:B]
+    new_state = WKVState(xy=xy[:, :B], aa=aa[:, :B], bb=bb[:, :B],
+                         pp=pp[:, :B], dd=dd[:, :B])
+    return logits_loc, new_state

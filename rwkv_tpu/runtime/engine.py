@@ -257,9 +257,11 @@ class RWKV:
             self._true_vocab = cfg.vocab_size
         self.reset_state()
 
-    def load_tokenizer(self, vocab_dir: str, native: Optional[bool] = None) -> None:
+    def load_tokenizer(self, vocab_dir: Optional[str] = None,
+                       native: Optional[bool] = None) -> None:
         """Load the BPE tokenizer; prefers the native C++ implementation
-        (rwkv_tpu/tokenizer/native.py) unless native=False."""
+        (rwkv_tpu/tokenizer/native.py) unless native=False. vocab_dir=None
+        uses the bundled 50,277-entry RWKV "20B" vocab."""
         if native is False:
             self.tokenizer = BPETokenizer.load(vocab_dir)
             return
@@ -506,22 +508,41 @@ class RWKV:
         state = self.get_state(stream)
 
         decoder = StreamDecoder(self.tokenizer)
-        pieces: list[str] = [decoder.feed([int(token)])]
-        if on_text and pieces[-1]:
-            on_text(pieces[-1])
+        pieces: list[str] = []
+        n_ids = 1  # token ids decoded (first one just sampled)
 
-        def stopped():
-            if not stop:
-                return None
-            joined = "".join(pieces)
-            hits = [joined.find(s) for s in stop if s in joined]
-            return min(hits) if hits else None
+        # Windowed stop-string scan: only the last max(len(stop))-1 chars
+        # carry across pieces, so each new piece is scanned once —
+        # O(len(piece)) per token instead of re-joining/re-scanning the
+        # whole transcript (O(n^2) over a long generation).
+        maxstop = max((len(s) for s in stop), default=0) if stop else 0
+        window = ""
+        emitted = 0     # total chars in `pieces`
+        cut: Optional[int] = None
 
-        text: Optional[str] = None
-        cut = stopped()
+        def feed(piece: str) -> None:
+            nonlocal window, emitted, cut
+            if not piece:
+                return
+            pieces.append(piece)
+            if on_text:
+                on_text(piece)
+            if stop and cut is None:
+                seg = window + piece
+                hits = [seg.find(s) for s in stop if s in seg]
+                if hits:
+                    cut = emitted - len(window) + min(hits)
+                if maxstop > 1:
+                    window = seg[-(maxstop - 1):]
+            emitted += len(piece)
+
+        feed(decoder.feed([int(token)]))
+
         remaining = max_tokens - 1
         while remaining > 0 and cut is None:
-            k = chunk if remaining >= chunk else 1
+            # tail chunks stay chunked: a 7-token tail under chunk=8 is ONE
+            # k=7 program (one extra jit cache entry), not 7 dispatches
+            k = min(chunk, remaining)
             if k > 1:
                 toks, state, key = self._jit_decode_chunk(
                     self.params, token, state, key, tempf, tauf, ban, k=k,
@@ -534,19 +555,14 @@ class RWKV:
                 )
                 ids = [int(token)]
             remaining -= len(ids)
+            n_ids += len(ids)
             for tid in ids:
-                piece = decoder.feed([int(tid)])
-                if piece:
-                    pieces.append(piece)
-                    if on_text:
-                        on_text(piece)
-            cut = stopped()
+                feed(decoder.feed([int(tid)]))
 
         if cut is not None:
             text = "".join(pieces)[:cut]
         else:
-            tail = decoder.flush()
-            text = "".join(pieces) + tail
+            text = "".join(pieces) + decoder.flush()
 
         self.set_state(state, stream)
         self._pending[stream] = int(token)  # emitted, not yet absorbed
@@ -554,5 +570,5 @@ class RWKV:
         from rwkv_tpu.utils.metrics import metrics
 
         metrics.inc("engine.generate_calls")
-        metrics.inc("engine.tokens_generated", len(pieces))
+        metrics.inc("engine.tokens_generated", n_ids)
         return text

@@ -42,6 +42,7 @@ class Request:
     seed: int
     stop: Optional[Sequence[str]]
     on_text: Optional[Callable[[str], None]]
+    ban_tokens: Sequence[int] = (0,)
     # runtime
     slot: int = -1
     produced: int = 0
@@ -49,6 +50,21 @@ class Request:
     pieces: list = dataclasses.field(default_factory=list)
     done: bool = False
     text: str = ""
+    # stop-string scanning state: only the last max(len(stop))-1 chars are
+    # kept — a match ending in a new piece is found in window+piece, so the
+    # scan is O(len(piece)) per token, not O(total_text) (a 2k-token
+    # generation would otherwise rescan megabytes)
+    _window: str = ""
+    _maxstop: int = 0
+
+    def saw_stop(self, piece: str) -> bool:
+        if not self.stop:
+            return False
+        seg = self._window + piece
+        hit = any(s in seg for s in self.stop)
+        if self._maxstop > 1:
+            self._window = seg[-(self._maxstop - 1):]
+        return hit
 
 
 class InferencePool:
@@ -93,6 +109,10 @@ class InferencePool:
         )
         self._temp = np.full((self.B,), 1.0, np.float32)
         self._tau = np.full((self.B,), 0.8, np.float32)
+        # per-slot banned-token mask at the padded vocab width (set from
+        # each request's ban_tokens at admission)
+        self._ban = np.zeros((self.B, self.cfg.vocab_size), bool)
+        self._ban[:, 0] = True
 
         self._free = list(range(self.B))
         self._by_slot: dict[int, Request] = {}
@@ -106,7 +126,8 @@ class InferencePool:
 
     # -- device programs ------------------------------------------------------
 
-    def _batched_step(self, params, tokens, state, keys, temp, tau, active):
+    def _batched_step(self, params, tokens, state, keys, temp, tau, active,
+                      ban):
         """Advance all B slots one token; sample per-slot params.
 
         Inactive slots still compute (lockstep batch — that's the point of
@@ -114,7 +135,7 @@ class InferencePool:
         memory-bound batch sizes) but their state update is masked out.
         """
         logits, new_state = self._step_impl(params, tokens, state)  # [B, V]
-        logits = logits.at[:, 0].set(-1e9)  # ban <|endoftext|> id 0
+        logits = jnp.where(ban, -1e9, logits)  # per-slot banned ids
 
         def sample_one(key, lg, t, ta):
             key, sub = jax.random.split(key)
@@ -128,12 +149,12 @@ class InferencePool:
         return nxt, state, keys
 
     def _batched_step_k(self, params, tokens, state, keys, temp, tau,
-                        active, *, k):
+                        active, ban, *, k):
         """k batched steps in one device program; returns tokens [k, B]."""
         def body(carry, _):
             toks, st, ky = carry
             toks, st, ky = self._batched_step(
-                params, toks, st, ky, temp, tau, active)
+                params, toks, st, ky, temp, tau, active, ban)
             return (toks, st, ky), toks
 
         (toks, state, keys), hist = jax.lax.scan(
@@ -163,6 +184,7 @@ class InferencePool:
         seed: Optional[int] = None,
         stop: Optional[Sequence[str]] = None,
         on_text: Optional[Callable[[str], None]] = None,
+        ban_tokens: Sequence[int] = (0,),
     ) -> int:
         rid = self._next_rid
         self._next_rid += 1
@@ -175,7 +197,9 @@ class InferencePool:
             seed=seed if seed is not None else rid,
             stop=stop,
             on_text=on_text,
+            ban_tokens=tuple(ban_tokens),
         )
+        req._maxstop = max((len(s) for s in stop), default=0) if stop else 0
         self._queue.append(req)
         return rid
 
@@ -199,11 +223,11 @@ class InferencePool:
         ~one weight stream instead of Bn)."""
         n = min(len(self._queue), len(self._free))
         if n == 0:
-            return
+            return []
         reqs = [self._queue.pop(0) for _ in range(n)]
         slots = [self._free.pop(0) for _ in range(n)]
         try:
-            self._admit_batch(reqs, slots)
+            return self._admit_batch(reqs, slots)
         except BaseException:
             # a failed prefill must not leak capacity: give the slots back
             # and requeue the requests (the caller decides their fate —
@@ -213,6 +237,8 @@ class InferencePool:
             raise
 
     def _admit_batch(self, reqs, slots):
+        """Returns requests that finished ON their first (admission) token."""
+        done_at_admit: list[Request] = []
         n = len(reqs)
         for req, slot in zip(reqs, slots):
             req.slot = slot
@@ -255,7 +281,11 @@ class InferencePool:
             # first token sampled host-side from prefill logits
             key = jax.random.PRNGKey(req.seed)
             key, sub = jax.random.split(key)
-            lg = jnp.asarray(logits_host[b]).at[0].set(-1e9)
+            row = np.zeros((self.cfg.vocab_size,), bool)
+            for t in req.ban_tokens:
+                row[t] = True
+            self._ban[slot] = row
+            lg = jnp.where(jnp.asarray(row), -1e9, jnp.asarray(logits_host[b]))
             first = int(typical(sub, lg, temp=req.temp, tau=req.tau))
             self._tokens[slot] = first
             self._keys[slot] = np.array(key)
@@ -263,15 +293,22 @@ class InferencePool:
             self._tau[slot] = req.tau
             self._active[slot] = True
             self._by_slot[slot] = req
-            self._emit(req, first)
+            piece = self._emit(req, first)
+            # the first token can already satisfy the request (max_tokens=1,
+            # or a stop string contained in its piece)
+            if (piece and req.saw_stop(piece)) or req.produced >= req.max_tokens:
+                done_at_admit.append(self._finish(req))
+        return done_at_admit
 
-    def _emit(self, req: Request, token: int):
+    def _emit(self, req: Request, token: int) -> str:
         req.produced += 1
-        piece = req.decoder.feed([token])
+        metrics.inc("pool.tokens_decoded")  # real tokens absorbed into a
+        piece = req.decoder.feed([token])   # request, not lockstep garbage
         if piece:
             req.pieces.append(piece)
             if req.on_text:
                 req.on_text(piece)
+        return piece
 
     def _finish(self, req: Request) -> Request:
         tail = req.decoder.flush() if req.decoder else ""
@@ -296,9 +333,9 @@ class InferencePool:
     def step(self) -> list[Request]:
         """Admit queued requests, advance the batch step_chunk tokens in
         one device dispatch; returns requests that completed."""
-        self._admit()
+        finished_admit = self._admit()
         if not self._by_slot:
-            return []
+            return finished_admit
 
         k = self.step_chunk
         args = (
@@ -309,6 +346,7 @@ class InferencePool:
             jnp.asarray(self._temp),
             jnp.asarray(self._tau),
             jnp.asarray(self._active),
+            jnp.asarray(self._ban),
         )
         if k == 1:
             nxt, self._state, keys = self._jit_step(*args)
@@ -318,23 +356,18 @@ class InferencePool:
             hist = np.asarray(hist_d)     # [k, B]
         self._keys = np.array(keys)
         metrics.inc("pool.steps")
-        metrics.inc("pool.tokens_decoded", len(self._by_slot) * hist.shape[0])
 
-        finished = []
+        finished = list(finished_admit)
         for slot, req in list(self._by_slot.items()):
-            done = False
             for row in hist:
                 token = int(row[slot])
                 self._tokens[slot] = token
-                self._emit(req, token)
-                text = "".join(req.pieces)
-                hit_stop = req.stop and any(s in text for s in req.stop)
+                piece = self._emit(req, token)
+                # windowed stop scan: O(len(piece)), not O(total text)
+                hit_stop = req.saw_stop(piece) if piece else False
                 if req.produced >= req.max_tokens or hit_stop:
                     finished.append(self._finish(req))
-                    done = True
                     break
-            if done:
-                continue
         return finished
 
     def run(self) -> dict[int, str]:

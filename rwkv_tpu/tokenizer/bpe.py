@@ -10,9 +10,10 @@ Differences by design:
   * decode goes through UTF-8 byte reassembly, so multi-byte codepoints split
     across tokens round-trip correctly.
 
-Vocab files are model artifacts and are not vendored; point `load` at a
-directory containing vocab.json + merges.txt (e.g. the ones shipped with any
-RWKV distribution) or set $RWKV_TPU_VOCAB.
+The 50,277-entry vocab is BUNDLED (rwkv_tpu/tokenizer/assets, a model
+artifact the reference also ships in-tree): `BPETokenizer.load()` with no
+arguments uses it. An explicit directory with vocab.json + merges.txt (or
+$RWKV_TPU_VOCAB) overrides the bundle.
 """
 
 from __future__ import annotations
@@ -67,12 +68,18 @@ class BPETokenizer:
 
     @classmethod
     def load(cls, vocab_dir: str | None = None) -> "BPETokenizer":
-        """Load vocab.json + merges.txt from a directory (or $RWKV_TPU_VOCAB)."""
+        """Load vocab.json + merges.txt from a directory (or $RWKV_TPU_VOCAB),
+        falling back to the bundled 50,277-entry RWKV "20B" vocab."""
         vocab_dir = vocab_dir or os.environ.get("RWKV_TPU_VOCAB")
         if not vocab_dir:
+            from rwkv_tpu.tokenizer import assets
+
+            if assets.available():
+                return cls(*assets.load_bundle())
             raise ValueError(
-                "no vocab dir: pass vocab_dir or set $RWKV_TPU_VOCAB to a "
-                "directory containing vocab.json and merges.txt"
+                "no vocab: pass vocab_dir or set $RWKV_TPU_VOCAB to a "
+                "directory containing vocab.json and merges.txt (bundled "
+                "asset missing — rebuild with tools/make_vocab_assets.py)"
             )
         return cls.load_files(
             os.path.join(vocab_dir, "vocab.json"),

@@ -80,7 +80,13 @@ class NativeBPETokenizer:
     def load(cls, vocab_dir: str | None = None) -> "NativeBPETokenizer":
         vocab_dir = vocab_dir or os.environ.get("RWKV_TPU_VOCAB")
         if not vocab_dir:
-            raise ValueError("no vocab dir")
+            from rwkv_tpu.tokenizer import assets
+
+            if assets.available():
+                # native loader needs the classic file pair on disk
+                vocab_dir = assets.ensure_files()
+            else:
+                raise ValueError("no vocab dir and no bundled asset")
         so = _find_so() or build(verbose=False)
         if not so:
             raise RuntimeError("librwkv_tok.so not built (run make -C native)")

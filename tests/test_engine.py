@@ -168,3 +168,34 @@ def test_generate_chunked_matches_tokenwise(engine):
     engine.reset_state()
     b = engine.generate("Once", max_tokens=9, seed=11, chunk=4)
     assert a == b
+
+
+@pytest.mark.skipif(not os.path.isdir(VOCAB_DIR), reason="vocab unavailable")
+def test_generate_chunked_tail_single_program(engine):
+    """A tail shorter than the chunk decodes as ONE k=tail program (not
+    token-at-a-time) with a bit-identical stream."""
+    engine.load_tokenizer(VOCAB_DIR)
+    engine.reset_state()
+    a = engine.generate("Once", max_tokens=8, seed=13)
+    engine.reset_state()
+    b = engine.generate("Once", max_tokens=8, seed=13, chunk=5)  # tail k=2
+    assert a == b
+
+
+@pytest.mark.skipif(not os.path.isdir(VOCAB_DIR), reason="vocab unavailable")
+def test_generate_stop_spans_piece_boundary(engine):
+    """The windowed stop scan must catch a stop string assembled across
+    several decoded pieces, truncating at its first occurrence."""
+    engine.load_tokenizer(VOCAB_DIR)
+    engine.reset_state()
+    full = engine.generate("The", max_tokens=40, seed=2)
+    if len(full) < 8:
+        pytest.skip("model emitted too little text")
+    # a stop string crossing character positions mid-output; spanning
+    # multiple BPE pieces is overwhelmingly likely at length 5
+    pos = len(full) // 2
+    stop = full[pos:pos + 5]
+    engine.reset_state()
+    cut = engine.generate("The", max_tokens=40, seed=2, stop=[stop])
+    assert stop not in cut
+    assert cut == full[: full.index(stop)]

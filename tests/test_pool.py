@@ -161,3 +161,54 @@ def test_admission_failure_releases_slots(pool_setup, monkeypatch):
         pool.step()
     assert sorted(pool._free) == [0, 1]      # capacity intact
     assert len(pool._queue) == 2             # requests preserved
+
+
+def test_ban_tokens_per_request(pool_setup):
+    """Per-request ban lists: a request banning every id but one can only
+    ever emit that token; its batchmate with the default list is
+    unaffected."""
+    params, tok = pool_setup
+    V = 50277
+    tid = tok.encode(" the")[0]
+    banned = [i for i in range(V) if i != tid]
+    pool = InferencePool(params, tok, max_streams=2)
+    r_banned = pool.submit("The capital", max_tokens=5, seed=1,
+                           ban_tokens=banned)
+    r_free = pool.submit("The capital", max_tokens=5, seed=1)
+    reqs = {}
+    while pool.pending:
+        for req in pool.step():
+            reqs[req.rid] = req
+    assert reqs[r_banned].text == tok.decode([tid] * 5)
+    # the default request still decodes from the full vocab (same seed,
+    # different ban list -> overwhelmingly different text)
+    assert reqs[r_free].text != reqs[r_banned].text
+
+
+def test_pool_stop_string_window(pool_setup):
+    """Stop detection through the suffix window: matches spanning a piece
+    boundary are caught and the text truncates at the first occurrence."""
+    params, tok = pool_setup
+    pool = InferencePool(params, tok, max_streams=1, step_chunk=3)
+    rid = pool.submit("abc", max_tokens=200, seed=3)
+    out = pool.run()
+    full = out[rid]
+    if len(full) < 4:
+        pytest.skip("random model emitted too little text")
+    # pick a stop string that straddles tokens mid-way through the output
+    stop = full[len(full) // 2: len(full) // 2 + 3]
+    pool2 = InferencePool(params, tok, max_streams=1, step_chunk=3)
+    rid2 = pool2.submit("abc", max_tokens=200, seed=3, stop=[stop])
+    out2 = pool2.run()
+    assert stop not in out2[rid2]
+    assert out2[rid2] == full[: full.index(stop)]
+
+
+def test_pool_max_tokens_one(pool_setup):
+    """A max_tokens=1 request finishes on its admission token."""
+    params, tok = pool_setup
+    pool = InferencePool(params, tok, max_streams=2)
+    rid = pool.submit("Hello", max_tokens=1, seed=5)
+    out = pool.run()
+    assert rid in out
+    assert len(tok.encode(out[rid])) <= 1
