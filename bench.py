@@ -14,12 +14,17 @@ Env knobs:
   RWKV_TPU_BENCH_IMPL   — 'fused' (Pallas decode-stack kernel, default),
                           'fused_a8' (native s8xs8 MXU, no widening pass;
                           adds activation-quant noise),
-                          'xla' (plain jnp forward_step), or
+                          'xla' (plain jnp forward_step),
                           'tp' (the sharded serving step on a 1-device
                           mesh: shard_map + per-shard Pallas half-kernels
                           — the tp=1 sanity number for multi-chip decode;
                           the gap to 'fused' is the per-layer kernel-split
-                          + collective-schedule overhead)
+                          + collective-schedule overhead), or
+                          'tpfused' (same 1-device shard_map but the
+                          whole-stack in-kernel-collective kernel,
+                          decode_stack_tp — should recover ~the 'fused'
+                          rate, proving the TP path keeps single-chip
+                          kernel efficiency)
   RWKV_TPU_BENCH_BATCH  — number of independent decode streams (default 1);
                           >1 reports aggregate tokens/s (continuous batching)
   RWKV_TPU_BENCH_TILE   — fused kernel tile (default auto)
@@ -170,14 +175,16 @@ def main():
             params = pretile_params(params, tile=tile)
         step_fn = functools.partial(forward_step_fused, tile=tile,
                                     a8=(impl == "fused_a8"))
-    elif impl == "tp":
+    elif impl in ("tp", "tpfused"):
         from rwkv_tpu.models.rwkv4 import signedize_params
         from rwkv_tpu.parallel.mesh import make_mesh
         from rwkv_tpu.parallel.tp_step import make_engine_step
 
         params = signedize_params(params)
         mesh = make_mesh(model=1, data=1)
-        step_fn = make_engine_step(mesh, params, body="pallas", tile=tile)
+        step_fn = make_engine_step(
+            mesh, params, body=("fused" if impl == "tpfused" else "pallas"),
+            tile=tile)
     else:
         step_fn = forward_step
 

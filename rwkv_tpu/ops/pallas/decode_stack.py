@@ -558,9 +558,12 @@ def decode_stack(
                             memory_space=pltpu.VMEM)
 
     if fuse_embed:
-        if B > 8:
-            raise ValueError("fuse_embed supports B <= 8 (one gathered emb "
-                             "row input per batch element); larger batches "
+        if B > 32:
+            # one gathered emb-row input ref per batch element: each adds
+            # an operand + index map; 32 keeps the arg count sane and
+            # covers the pool's batch regime (the XLA embed dispatch it
+            # saves is a fixed ~µs cost, so past B=32 it's noise anyway)
+            raise ValueError("fuse_embed supports B <= 32; larger batches "
                              "embed in XLA")
         if token is None:
             raise ValueError("fuse_embed requires the token array")
@@ -738,7 +741,7 @@ def forward_step_fused(
 ) -> Tuple[jax.Array, WKVState]:
     """Full decode step on the fused stack kernel. The L-layer body, ln_out
     and the quantized head run as one kernel whenever the padded vocab is
-    lane-aligned (models.rwkv4.pad_vocab); at B <= 8 even the embedding
+    lane-aligned (models.rwkv4.pad_vocab); at B <= 32 even the embedding
     gathers + ln0 fold in (tokens ride as a scalar-prefetch arg, one
     gathered emb-row input per batch element), making the entire
     token -> logits step a single launch. Otherwise embed/ln0 stay in XLA
@@ -767,7 +770,7 @@ def forward_step_fused(
         and params.head.w.dtype == jnp.int8
         and params.head.w.shape[-1] % 128 == 0
     )
-    embed_fusable = head_fusable and tok.shape[0] <= 8
+    embed_fusable = head_fusable and tok.shape[0] <= 32
 
     if not embed_fusable:
         x = params.emb[tok].astype(jnp.float32)  # [B, E]

@@ -9,15 +9,16 @@ ln_out and the local head shard — is ONE Pallas kernel per chip, and the
 three per-layer collectives run as remote DMAs (ICI RDMA) issued inside
 the kernel:
 
-  att out-projection partial  [B, E]  -> direct all-exchange + local sum
-  ffn value partial           [B, E]  -> direct all-exchange + local sum
+  att out-projection partial  [B, E]  -> one-shot reduce-scatter +
+                                         one-shot all-gather of E/tp chunks
+  ffn value partial           [B, E]  -> same
   ffn sigmoid gate            [B,E/tp]-> direct all-gather
 
-Direct exchange (every chip RDMAs its contribution to every peer's slot,
-then sums/concatenates locally) is chosen over a ring because decode
-payloads are tiny (B·E·4 = 20-160 KB) — latency-bound, so one RDMA phase
-beats 2(tp-1) ring phases; the tp× bandwidth overcost is noise next to
-the 10s-of-MB/layer weight stream.
+One-shot (not ring): decode payloads are tiny (B·E·4 = 20-160 KB) —
+latency-bound, so 2 RDMA phases beat 2(tp-1) ring phases. Chunked (not a
+direct [B, E] exchange): the per-peer slots then cost [tp, B, E/tp]
+VMEM and each link carries ~B·E bytes instead of (tp-1)·B·E — the direct
+form measurably OOMs the 16MB VMEM at 14B/tp=8.
 
 Overlap structure (the point of fusing): sends are issued the moment a
 partial is complete and waited only where the data is consumed —
@@ -76,8 +77,8 @@ def _decode_stack_tp_kernel(
         ffnv, fvr, fvo,                         # [1, T, E] i8 / [1, T]
         lnout_w, lnout_b,                       # [1, E]
         hw, hr, ho,                             # [E, HT] i8 / [1, E]
-    ) = refs[:35]
-    i = 35
+    ) = refs[:43]
+    i = 43
     (
         xy_out, dd_out,                         # [1, Bp, E]
         aa_out, bb_out, pp_out,                 # [1, Bp, T]
@@ -92,11 +93,12 @@ def _decode_stack_tp_kernel(
     gate_buf = next(it)                         # [Bp, El] local gate
     offs = next(it)                             # [8, Bp, 128]
     if tp > 1:
-        att_recv, v_recv = next(it), next(it)   # [tp, Bp, E]
-        gate_recv = next(it)                    # [tp, Bp, El]
-        att_send_sem, att_recv_sem = next(it), next(it)
-        v_send_sem, v_recv_sem = next(it), next(it)
-        gate_send_sem, gate_recv_sem = next(it), next(it)
+        rs_a, ag_a = next(it), next(it)         # [tp, Bp, El] att reduce
+        rs_v, ag_v = next(it), next(it)         # [tp, Bp, El] ffn-v reduce
+        gate_recv = next(it)                    # [tp, Bp, El] gate gather
+        chunk_a, chunk_v = next(it), next(it)   # [Bp, El] reduced chunks
+        (rsa_s, rsa_r, aga_s, aga_r, rsv_s, rsv_r, agv_s, agv_r,
+         gate_s, gate_r) = (next(it) for _ in range(10))
 
     S = n_att + n_ffn
     t = pl.program_id(0)
@@ -105,34 +107,79 @@ def _decode_stack_tp_kernel(
 
     OFFK, OFFV, OFFR, OUTO, FFK, FFR, FFV, HOF = range(8)
 
+    El = gate_buf.shape[-1]
     if tp > 1:
         my = jax.lax.axis_index(model_axis)
         base = (jax.lax.axis_index(data_axis) * tp
                 if data_axis is not None else 0)
+        LOGICAL = pltpu.DeviceIdType.LOGICAL
 
         def _peer(off):
             return base + jax.lax.rem(my + off, tp)
 
-        def _xchg_start(src_ref, recv_ref, send_sem, recv_sem):
-            """Direct exchange: own contribution into my slot locally, RDMA
-            it into slot[my] on every peer."""
-            recv_ref[my] = src_ref[:]
+        # All-reduce of a [Bp, E] partial = one-shot reduce-scatter (each
+        # chip receives every peer's contribution for ITS E/tp chunk) +
+        # one-shot all-gather of the reduced chunks. vs a direct
+        # all-exchange this is tp x less ICI traffic AND tp x less VMEM
+        # ([tp, Bp, E/tp] buffers instead of [tp, Bp, E] — the direct form
+        # provably OOMs 16MB VMEM at 14B/tp=8).
+
+        def _rs_dma(src_ref, rs_buf, ss, rr, off):
+            p = jax.lax.rem(my + off, tp)
+            return pltpu.make_async_remote_copy(
+                src_ref=src_ref.at[:, pl.ds(p * El, El)],
+                dst_ref=rs_buf.at[my],
+                send_sem=ss, recv_sem=rr,
+                device_id=base + p, device_id_type=LOGICAL)
+
+        def _red_start(src_ref, rs_buf, ss, rr):
+            rs_buf[my] = src_ref[:, pl.ds(my * El, El)]
+            for off in range(1, tp):
+                _rs_dma(src_ref, rs_buf, ss, rr, off).start()
+
+        def _ag_dma(chunk, ag_buf, ss, rr, off):
+            return pltpu.make_async_remote_copy(
+                src_ref=chunk, dst_ref=ag_buf.at[my],
+                send_sem=ss, recv_sem=rr,
+                device_id=_peer(off), device_id_type=LOGICAL)
+
+        def _red_finish(src_ref, rs_buf, ag_buf, chunk, sems):
+            """Wait the scatter, sum my chunk, gather the chunks, and ADD
+            the fully-reduced [Bp, E] into xcur."""
+            rss, rsr, ags, agr = sems
+            for off in range(1, tp):
+                d = _rs_dma(src_ref, rs_buf, rss, rsr, off)
+                d.wait_send()
+                d.wait_recv()
+            acc = rs_buf[0]
+            for q in range(1, tp):
+                acc = acc + rs_buf[q]
+            chunk[:] = acc
+            ag_buf[my] = acc
+            for off in range(1, tp):
+                _ag_dma(chunk, ag_buf, ags, agr, off).start()
+            for off in range(1, tp):
+                d = _ag_dma(chunk, ag_buf, ags, agr, off)
+                d.wait_send()
+                d.wait_recv()
+            for p in range(tp):
+                xcur[:, p * El:(p + 1) * El] += ag_buf[p]
+
+        def _gate_start():
+            gate_recv[my] = gate_buf[:]
             for off in range(1, tp):
                 pltpu.make_async_remote_copy(
-                    src_ref=src_ref, dst_ref=recv_ref.at[my],
-                    send_sem=send_sem, recv_sem=recv_sem,
-                    device_id=_peer(off),
-                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    src_ref=gate_buf, dst_ref=gate_recv.at[my],
+                    send_sem=gate_s, recv_sem=gate_r,
+                    device_id=_peer(off), device_id_type=LOGICAL,
                 ).start()
 
-        def _xchg_wait(src_ref, recv_ref, send_sem, recv_sem):
+        def _gate_wait():
             for off in range(1, tp):
                 d = pltpu.make_async_remote_copy(
-                    src_ref=src_ref, dst_ref=recv_ref.at[my],
-                    send_sem=send_sem, recv_sem=recv_sem,
-                    device_id=_peer(off),
-                    device_id_type=pltpu.DeviceIdType.LOGICAL,
-                )
+                    src_ref=gate_buf, dst_ref=gate_recv.at[my],
+                    send_sem=gate_s, recv_sem=gate_r,
+                    device_id=_peer(off), device_id_type=LOGICAL)
                 d.wait_send()
                 d.wait_recv()
 
@@ -144,7 +191,7 @@ def _decode_stack_tp_kernel(
             for off in range(1, tp):
                 pltpu.semaphore_signal(
                     bar, inc=1, device_id=_peer(off),
-                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+                    device_id_type=LOGICAL)
             pltpu.semaphore_wait(bar, tp - 1)
 
     def _finish_ffn():
@@ -152,15 +199,27 @@ def _decode_stack_tp_kernel(
         its residual update. (Deferred to here so both exchanges fly while
         that layer's tail compute and this phase's first weight DMAs run.)"""
         if tp > 1:
-            _xchg_wait(gate_buf, gate_recv, gate_send_sem, gate_recv_sem)
-            _xchg_wait(vacc, v_recv, v_send_sem, v_recv_sem)
-            El = gate_buf.shape[-1]
-            vsum = v_recv[0]
-            for p in range(1, tp):
-                vsum = vsum + v_recv[p]
+            _gate_wait()
+            # value all-reduce lands in chunk_v / ag_v, added to a gated
+            # temp rather than xcur directly: compute gate * vfull
+            for off in range(1, tp):
+                d = _rs_dma(vacc, rs_v, rsv_s, rsv_r, off)
+                d.wait_send()
+                d.wait_recv()
+            acc = rs_v[0]
+            for q in range(1, tp):
+                acc = acc + rs_v[q]
+            chunk_v[:] = acc
+            ag_v[my] = acc
+            for off in range(1, tp):
+                _ag_dma(chunk_v, ag_v, agv_s, agv_r, off).start()
+            for off in range(1, tp):
+                d = _ag_dma(chunk_v, ag_v, agv_s, agv_r, off)
+                d.wait_send()
+                d.wait_recv()
             for p in range(tp):
                 xcur[:, p * El:(p + 1) * El] += (
-                    gate_recv[p] * vsum[:, p * El:(p + 1) * El])
+                    gate_recv[p] * ag_v[p])
         else:
             xcur[:] += gate_buf[:] * vacc[:]
 
@@ -222,17 +281,14 @@ def _decode_stack_tp_kernel(
             # partial complete: fold the rank-1 offset term and ship
             att_acc[:] += offs[OUTO][:, :1]
             if tp > 1:
-                _xchg_start(att_acc, att_recv, att_send_sem, att_recv_sem)
+                _red_start(att_acc, rs_a, rsa_s, rsa_r)
 
     # ------------------------------------------------------------- gate init
     @pl.when(s == n_att)
     def _():
         if tp > 1:
-            _xchg_wait(att_acc, att_recv, att_send_sem, att_recv_sem)
-            asum = att_recv[0]
-            for p in range(1, tp):
-                asum = asum + att_recv[p]
-            xcur[:] += asum
+            _red_finish(att_acc, rs_a, ag_a, chunk_a,
+                        (rsa_s, rsa_r, aga_s, aga_r))
         else:
             xcur[:] += att_acc[:]
         xx2 = _ln(xcur[:], ln2_w[0], ln2_b[0])
@@ -260,11 +316,10 @@ def _decode_stack_tp_kernel(
 
             @pl.when(j == n_att - 1)
             def _():
-                # gate shard complete: ship now, consumed (tp-1)·n_att
-                # ffn steps later — fully hidden behind the value matvecs
+                # gate shard complete: ship now, consumed ~3·n_att ffn
+                # steps later — fully hidden behind the value matvecs
                 if tp > 1:
-                    _xchg_start(gate_buf, gate_recv,
-                                gate_send_sem, gate_recv_sem)
+                    _gate_start()
 
         h_t = _dot(xs_fk[:], ffnk[0]) + offs[FFK][:, :1]
         h_t = jnp.maximum(h_t, 0.0)
@@ -276,7 +331,7 @@ def _decode_stack_tp_kernel(
         def _():
             vacc[:] += offs[FFV][:, :1]
             if tp > 1:
-                _xchg_start(vacc, v_recv, v_send_sem, v_recv_sem)
+                _red_start(vacc, rs_v, rsv_s, rsv_r)
 
     # --------------------------------------------------- ln_out + head tiles
     @pl.when(s == S)  # only reachable on the last layer
@@ -291,32 +346,52 @@ def _decode_stack_tp_kernel(
         logits_out[:] = _dot(xs_h[:], hw[:]) + offs[HOF][:, :1]
 
 
+def _fixed_scratch_bytes(n_embd: int, e_loc: int, tp: int, bp: int) -> int:
+    """VMEM the kernel holds regardless of tile choice: the f32 activation
+    scratch (xcur + 6 xs_* + att_acc + vacc), gate_buf, offs, the exchange
+    recv buffers, and the double-buffered xy/dd state windows."""
+    b = 9 * bp * n_embd * 4
+    b += bp * e_loc * 4                    # gate_buf
+    b += 8 * bp * 128 * 4                  # offs
+    if tp > 1:
+        # 4 reduce-scatter/all-gather buffers + gate_recv [tp, Bp, E/tp]
+        # + 2 reduced-chunk staging buffers [Bp, E/tp]
+        b += (5 * tp * bp * e_loc + 2 * bp * e_loc) * 4
+    b += 8 * bp * n_embd * 4               # xy/dd in+out, double-buffered
+    return b
+
+
 def pick_tp_fused_tile(n_embd: int, e_loc: int, tp: int, bp: int = 8,
                        vmem_budget: int = 15 * 1024 * 1024) -> int:
-    """Largest 128-multiple tile dividing E_loc whose double-buffered weight
-    streams fit beside the activation/exchange scratch.
+    """Largest 128-multiple tile dividing E_loc that fits VMEM.
 
-    Streams per grid step: att 4 blocks of E x tile i8, ffn 3 (the wider
-    phase is att) -> 8·E·tile double-buffered; scratch: ~11 [Bp, E] f32
-    activation vectors + 2 [tp, Bp, E] + 1 [tp, Bp, E/tp] exchange buffers.
-    """
-    scratch = (11 * bp * n_embd + 2 * tp * bp * n_embd + bp * n_embd) * 4
+    Pallas double-buffers EVERY windowed input, not just the phase that is
+    live — all 7 weight streams (km/vm/rm, wout, wg, ffnk, ffnv) coexist:
+    14·E·tile bytes, the same rule as decode_stack's pick_tile — plus at
+    least one minimal double-buffered head stream (2·E·128) and the fixed
+    scratch above. (Measured: the 8·E·tile att-only estimate OOM'd real
+    Mosaic at 430M/tp=1 — 18.4M requested of 16M.)"""
+    fixed = _fixed_scratch_bytes(n_embd, e_loc, tp, bp)
     for t in (512, 384, 256, 128):
-        if e_loc % t == 0 and 8 * n_embd * t + scratch <= vmem_budget:
+        if (e_loc % t == 0
+                and 14 * n_embd * t + 2 * n_embd * 128 + fixed <= vmem_budget):
             return t
     raise ValueError(
         f"no feasible tile: E={n_embd}, E_loc={e_loc}, tp={tp} "
-        f"(scratch {scratch} bytes)"
+        f"(fixed scratch {fixed} bytes)"
     )
 
 
-def pick_tp_head_tile(n_embd: int, tile: int, v_loc: int,
+def pick_tp_head_tile(n_embd: int, tile: int, v_loc: int, *,
+                      e_loc: int | None = None, tp: int = 1, bp: int = 8,
                       vmem_budget: int = 15 * 1024 * 1024) -> int:
-    """Widest 128-multiple divisor of the LOCAL vocab shard whose blocks fit
-    beside the layer streams (same logic as decode_stack.pick_head_tile)."""
-    layer_bytes = 8 * n_embd * tile
+    """Widest 128-multiple divisor of the LOCAL vocab shard whose
+    double-buffered blocks fit beside the 7 layer streams + fixed scratch."""
+    fixed = _fixed_scratch_bytes(n_embd, e_loc or n_embd, tp, bp)
+    layer_bytes = 14 * n_embd * tile
     for ht in range(v_loc, 127, -128):
-        if v_loc % ht == 0 and layer_bytes + 2 * n_embd * ht <= vmem_budget:
+        if (v_loc % ht == 0
+                and layer_bytes + 2 * n_embd * ht + fixed <= vmem_budget):
             return ht
     return 128
 
@@ -356,7 +431,7 @@ def decode_stack_tp(
     assert n_ffn >= n_att, "gate tiles ride the first ffn steps (F = 4E)"
     S = n_att + n_ffn
     if head_tile is None:
-        head_tile = pick_tp_head_tile(E, tile, Vl)
+        head_tile = pick_tp_head_tile(E, tile, Vl, e_loc=El, tp=tp)
     assert Vl % head_tile == 0, (Vl, head_tile)
     n_head = Vl // head_tile
 
@@ -478,10 +553,11 @@ def decode_stack_tp(
     scratch += [pltpu.VMEM((Bp, El), f32)]                  # gate_buf
     scratch += [pltpu.VMEM((8, Bp, 128), f32)]              # offs
     if tp > 1:
-        scratch += [pltpu.VMEM((tp, Bp, E), f32),           # att_recv
-                    pltpu.VMEM((tp, Bp, E), f32),           # v_recv
-                    pltpu.VMEM((tp, Bp, El), f32)]          # gate_recv
-        scratch += [pltpu.SemaphoreType.DMA(()) for _ in range(6)]
+        scratch += [pltpu.VMEM((tp, Bp, El), f32)           # rs_a, ag_a,
+                    for _ in range(5)]                      # rs_v, ag_v,
+        scratch += [pltpu.VMEM((Bp, El), f32)               # gate_recv
+                    for _ in range(2)]                      # chunk_a/v
+        scratch += [pltpu.SemaphoreType.DMA(()) for _ in range(10)]
 
     kernel = functools.partial(
         _decode_stack_tp_kernel,

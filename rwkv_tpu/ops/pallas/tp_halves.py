@@ -180,6 +180,12 @@ def _pad_b(x, Bp):
     return jnp.pad(x, ((0, Bp - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
 
 
+def _r3(a):
+    """[L, X] -> [L, 1, X]: Mosaic requires a block's trailing two dims to
+    divide (8, 128) or equal the array's — (1, 1, X) blocks satisfy it."""
+    return a.reshape(a.shape[0], 1, a.shape[1])
+
+
 def att_half(
     l: jax.Array,            # scalar int32 layer index
     x: jax.Array,            # [B, E] f32 residual stream (full width)
@@ -214,9 +220,9 @@ def att_half(
         x, xy, aa, bb, pp = (_pad_b(a, Bp) for a in (x, xy, aa, bb, pp))
 
     f32 = jnp.float32
-    row = pl.BlockSpec((1, E), lambda j, lr: (lr[0], 0),
+    row = pl.BlockSpec((1, 1, E), lambda j, lr: (lr[0], 0, 0),
                        memory_space=pltpu.VMEM)
-    vec_loc = pl.BlockSpec((1, tile), lambda j, lr: (lr[0], j),
+    vec_loc = pl.BlockSpec((1, 1, tile), lambda j, lr: (lr[0], 0, j),
                            memory_space=pltpu.VMEM)
     colT = pl.BlockSpec((1, E, tile), lambda j, lr: (lr[0], 0, j),
                         memory_space=pltpu.VMEM)
@@ -264,10 +270,10 @@ def att_half(
     )(
         jnp.asarray(l, jnp.int32)[None],
         x, xy,
-        ln1w, ln1b, mix_k, mix_v, mix_r,
-        kr, vr, rr, ko, vo, ro,
-        km, vm, rm, wout, wout_r, wout_o,
-        decay, bonus,
+        _r3(ln1w), _r3(ln1b), _r3(mix_k), _r3(mix_v), _r3(mix_r),
+        _r3(kr), _r3(vr), _r3(rr), _r3(ko), _r3(vo), _r3(ro),
+        km, vm, rm, wout, _r3(wout_r), _r3(wout_o),
+        _r3(decay), _r3(bonus),
         aa[None], bb[None], pp[None],
     )
     partial, aa2, bb2, pp2 = outs
@@ -315,9 +321,9 @@ def ffn_half(
     def clampg(j):
         return jnp.minimum(j, n_gate - 1)
 
-    row = pl.BlockSpec((1, E), lambda j, lr: (lr[0], 0),
+    row = pl.BlockSpec((1, 1, E), lambda j, lr: (lr[0], 0, 0),
                        memory_space=pltpu.VMEM)
-    vec_loc = pl.BlockSpec((1, tile), lambda j, lr: (lr[0], j),
+    vec_loc = pl.BlockSpec((1, 1, tile), lambda j, lr: (lr[0], 0, j),
                            memory_space=pltpu.VMEM)
     colT = pl.BlockSpec((1, E, tile), lambda j, lr: (lr[0], 0, j),
                         memory_space=pltpu.VMEM)
@@ -362,9 +368,9 @@ def ffn_half(
     )(
         jnp.asarray(l, jnp.int32)[None],
         x, dd,
-        ln2w, ln2b, fmix_k, fmix_r,
-        fkr, fko, gr, go,
-        ffnk, wg, ffnv, fvr, fvo,
+        _r3(ln2w), _r3(ln2b), _r3(fmix_k), _r3(fmix_r),
+        _r3(fkr), _r3(fko), _r3(gr), _r3(go),
+        ffnk, wg, ffnv, _r3(fvr), _r3(fvo),
     )
     v_partial, gate_loc = outs
     return v_partial[:B], gate_loc[:B]

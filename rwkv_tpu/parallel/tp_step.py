@@ -208,6 +208,27 @@ def _tp_step_local_pallas(params, token, state, *, n_model: int,
     return logits, WKVState(*new_state)
 
 
+def _tp_step_local_fused(params, token, state, *, n_model: int,
+                         tile: int | None, interpret):
+    """The per-shard body as ONE Pallas kernel for the whole stack with
+    in-kernel RDMA collectives (ops/pallas/decode_stack_tp.py). Only the
+    embedding psum and the final logits gather remain XLA collectives."""
+    from rwkv_tpu.ops.pallas.decode_stack_tp import decode_stack_tp
+
+    ax = "model"
+    x = _embed_psum(params, token, ax)
+    decay_loc = _local_slice(params.att.decay, n_model, ax)
+    bonus_loc = _local_slice(params.att.bonus, n_model, ax)
+    logits_loc, new_state = decode_stack_tp(
+        x, params, state, decay_loc, bonus_loc,
+        tp=n_model, tile=tile, interpret=interpret,
+    )
+    if params.logit_bias is not None:
+        logits_loc = logits_loc + params.logit_bias
+    logits = _all_gather_inv(logits_loc, ax, axis=-1, tiled=True)
+    return logits, new_state
+
+
 def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
                  tile: int | None = None, interpret: bool | None = None,
                  jit: bool = True):
@@ -219,7 +240,9 @@ def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
     body: 'pallas' runs each per-shard block half as one fused Pallas
     kernel (single-chip kernel efficiency between collectives; requires
     SIGNED int8 weights — models.rwkv4.signedize_params — and a local
-    channel width E/tp that is a multiple of 128). 'xla' uses plain
+    channel width E/tp that is a multiple of 128). 'fused' goes further:
+    the WHOLE stack is one kernel per chip with in-kernel RDMA
+    collectives (decode_stack_tp; same eligibility). 'xla' uses plain
     qmatmul matvecs. None auto-selects pallas when eligible.
     interpret: run the Pallas kernels in interpreter mode (None = auto:
     on for CPU backends, e.g. the virtual test mesh).
@@ -246,17 +269,27 @@ def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
     )
     if body is None:
         body = "pallas" if pallas_ok else "xla"
-    if body == "pallas":
+    if body in ("pallas", "fused"):
         if not pallas_ok:
             raise ValueError(
-                "body='pallas' requires signed int8 3-D weights "
+                f"body={body!r} requires signed int8 3-D weights "
                 "(models.rwkv4.signedize_params) and E/tp a multiple of "
                 f"128 (got dtype={params.att.key.w.dtype}, E={E}, tp={tp})"
             )
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
-        fn = functools.partial(_tp_step_local_pallas, n_model=tp,
-                               tile=tile, interpret=interpret)
+        if body == "fused":
+            if interpret is True:
+                # in-kernel RDMAs need the TPU-interpreter simulation, not
+                # the plain HLO interpreter
+                from jax.experimental.pallas import tpu as pltpu
+
+                interpret = pltpu.InterpretParams()
+            fn = functools.partial(_tp_step_local_fused, n_model=tp,
+                                   tile=tile, interpret=interpret)
+        else:
+            fn = functools.partial(_tp_step_local_pallas, n_model=tp,
+                                   tile=tile, interpret=interpret)
     elif body == "xla":
         fn = functools.partial(_tp_step_local, n_model=tp)
     else:
@@ -274,7 +307,7 @@ def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
         fn, mesh=mesh,
         in_specs=(pspecs, P("data"), sspecs),
         out_specs=(P("data", None), sspecs),
-        check_vma=_CHECK_VMA and body != "pallas",
+        check_vma=_CHECK_VMA and body == "xla",
     )
     return jax.jit(sm) if jit else sm
 

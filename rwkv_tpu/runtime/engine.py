@@ -62,6 +62,7 @@ class RWKV:
         prefill_buckets: Sequence[int] = (32, 128, 512),
         sharding=None,
         prefill_dtype=jnp.float32,
+        tp_body: Optional[str] = None,
     ):
         self.params: Optional[RWKVParams] = None
         self.config: Optional[RWKVConfig] = None
@@ -69,6 +70,10 @@ class RWKV:
         self.max_streams = max_streams
         self.prefill_buckets = tuple(sorted(prefill_buckets))
         self._sharding = sharding
+        # TP step body under sharding: None = auto ('pallas' half-kernels
+        # when E/tp is lane-aligned, else 'xla'); 'fused' opts into the
+        # in-kernel-RDMA whole-stack kernel (parallel/tp_step.py)
+        self._tp_body = tp_body
         self._state: Optional[WKVState] = None  # leaves [L, B, E]
         self._last_logits: dict[int, jax.Array] = {}  # stream -> logits [V]
         self._pending: dict[int, int] = {}  # emitted-but-not-absorbed token
@@ -239,7 +244,7 @@ class RWKV:
             from rwkv_tpu.parallel.sharding import shard_params as _commit
 
             params = _commit(params, mesh)
-            self._step_fn = make_engine_step(mesh, params)
+            self._step_fn = make_engine_step(mesh, params, body=self._tp_body)
         else:
             self._step_fn = forward_step
         self._make_jits()

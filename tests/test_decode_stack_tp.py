@@ -1,0 +1,121 @@
+"""Fused TP decode kernel (in-kernel RDMA collectives) vs the oracle.
+
+tp=1 runs the kernel's plain compute path; tp>1 runs under shard_map with
+Pallas's TPU interpret mode simulating the inter-chip DMAs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_tpu.models.config import RWKVConfig
+from rwkv_tpu.models.rwkv4 import (
+    forward_step,
+    init_params,
+    init_state,
+    pad_vocab,
+    quantize_params,
+    signedize_params,
+)
+from rwkv_tpu.ops.layernorm import layer_norm
+from rwkv_tpu.ops.pallas.decode_stack_tp import decode_stack_tp
+from rwkv_tpu.parallel.mesh import make_mesh
+from rwkv_tpu.parallel.sharding import shard_params, shard_state
+from rwkv_tpu.parallel.tp_step import make_tp_step
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = RWKVConfig.tiny_test(n_layer=2, n_embd=256, vocab_size=300)
+    params = signedize_params(pad_vocab(
+        quantize_params(init_params(jax.random.PRNGKey(0), cfg)),
+        multiple=256,
+    ))
+    return cfg, params
+
+
+def test_tp1_matches_oracle(model):
+    cfg, params = model
+    B = 2
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray([5, 9], jnp.int32)
+    l_ref, s_ref = forward_step(params, tok, state)
+
+    x = params.emb[tok].astype(jnp.float32)
+    x = layer_norm(x, params.ln0.weight, params.ln0.bias)
+    logits_loc, s_tp = decode_stack_tp(
+        x, params, state, params.att.decay, params.att.bonus,
+        tp=1, tile=128, interpret=True, data_axis=None,
+    )
+    logits = logits_loc + params.logit_bias
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(l_ref),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_tp1_state_carry(model):
+    """Multi-step decode through the fused TP kernel tracks the oracle."""
+    cfg, params = model
+    s_r = s_f = init_state(cfg, (1,))
+    for t in (3, 1, 9, 100):
+        tok = jnp.asarray([t], jnp.int32)
+        l_r, s_r = forward_step(params, tok, s_r)
+        x = layer_norm(params.emb[tok].astype(jnp.float32),
+                       params.ln0.weight, params.ln0.bias)
+        lg, s_f = decode_stack_tp(
+            x, params, s_f, params.att.decay, params.att.bonus,
+            tp=1, tile=128, interpret=True, data_axis=None,
+        )
+    np.testing.assert_allclose(np.asarray(lg + params.logit_bias),
+                               np.asarray(l_r), rtol=3e-4, atol=3e-4)
+
+
+def test_tp2_shard_map_rdma_parity(model):
+    """tp=2 under shard_map: the in-kernel direct-exchange collectives
+    (simulated RDMAs) must reproduce the unsharded step exactly."""
+    cfg, params = model
+    mesh = make_mesh(model=2, data=1)
+    B = 2
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray([3, 150], jnp.int32)
+    l_ref, s_ref = forward_step(params, tok, state)
+
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, params, body="fused", interpret=True)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = step(p_sh, tok, st_sh)
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_fused_body_xla_collective_count(model):
+    """With the collectives inside the kernel, the compiled program must
+    contain ONLY the embedding psum and the logits gather as XLA
+    collectives — 2 per token total, independent of depth."""
+    import re
+
+    cfg, params = model
+    mesh = make_mesh(model=2, data=1)
+    state = init_state(cfg, (2,))
+    tok = jnp.asarray([3, 150], jnp.int32)
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, params, body="fused", interpret=True)
+    with jax.sharding.set_mesh(mesh):
+        hlo = step.lower(p_sh, tok, st_sh).compile().as_text()
+    counts = {}
+    pat = (r"(all-reduce|all-gather|all-to-all|collective-permute|"
+           r"reduce-scatter)(?:-start)?\(")
+    for m in re.finditer(pat, hlo):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    assert counts.get("all-reduce", 0) == 1, counts   # embed psum
+    assert counts.get("all-gather", 0) == 1, counts   # logits gather
+    assert counts.get("all-to-all", 0) == 0, counts
+    assert counts.get("reduce-scatter", 0) == 0, counts
