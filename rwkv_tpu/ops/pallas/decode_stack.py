@@ -558,12 +558,13 @@ def decode_stack(
                             memory_space=pltpu.VMEM)
 
     if fuse_embed:
-        if B > 32:
-            # one gathered emb-row input ref per batch element: each adds
-            # an operand + index map; 32 keeps the arg count sane and
-            # covers the pool's batch regime (the XLA embed dispatch it
-            # saves is a fixed ~µs cost, so past B=32 it's noise anyway)
-            raise ValueError("fuse_embed supports B <= 32; larger batches "
+        if B > 16:
+            # one gathered emb-row input ref per batch element. Measured
+            # (BENCH_NOTES "Fused embed vs batch"): big win at B<=8
+            # (+19-20%), ~neutral at B=16, and at B=32 the extra Bp·E
+            # activation scratch pushes the 430M tile choice 8KB past the
+            # 16MB VMEM budget — larger batches embed in XLA.
+            raise ValueError("fuse_embed supports B <= 16; larger batches "
                              "embed in XLA")
         if token is None:
             raise ValueError("fuse_embed requires the token array")
@@ -737,11 +738,11 @@ def decode_stack(
 def forward_step_fused(
     params: RWKVParams, token: jax.Array, state: WKVState, *,
     tile: int | None = None, interpret: bool = False, head_a8: bool = False,
-    a8: bool = False,
+    a8: bool = False, fuse_embed: bool | None = None,
 ) -> Tuple[jax.Array, WKVState]:
     """Full decode step on the fused stack kernel. The L-layer body, ln_out
     and the quantized head run as one kernel whenever the padded vocab is
-    lane-aligned (models.rwkv4.pad_vocab); at B <= 32 even the embedding
+    lane-aligned (models.rwkv4.pad_vocab); at B <= 8 even the embedding
     gathers + ln0 fold in (tokens ride as a scalar-prefetch arg, one
     gathered emb-row input per batch element), making the entire
     token -> logits step a single launch. Otherwise embed/ln0 stay in XLA
@@ -770,7 +771,13 @@ def forward_step_fused(
         and params.head.w.dtype == jnp.int8
         and params.head.w.shape[-1] % 128 == 0
     )
-    embed_fusable = head_fusable and tok.shape[0] <= 32
+    # auto-fuse the embedding only where it measures as a win (B <= 8:
+    # +19-20%; B=16: ~-2% — BENCH_NOTES "Fused embed vs batch");
+    # fuse_embed=True forces it up to the kernel's B <= 16 limit
+    if fuse_embed is None:
+        embed_fusable = head_fusable and tok.shape[0] <= 8
+    else:
+        embed_fusable = head_fusable and fuse_embed and tok.shape[0] <= 16
 
     if not embed_fusable:
         x = params.emb[tok].astype(jnp.float32)  # [B, E]

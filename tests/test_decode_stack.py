@@ -230,14 +230,16 @@ def test_fused_step_config_sweep(E, L, V, B, a8):
 
 
 def test_fused_embed_batch16(model):
-    """fuse_embed past the old B<=8 cap: B=16 single-launch step matches
-    the oracle (one gathered emb-row ref per batch element)."""
+    """fuse_embed past the auto B<=8 threshold: an explicitly-forced B=16
+    single-launch step matches the oracle (one gathered emb-row ref per
+    batch element; auto keeps B<=8 — the measured-win regime)."""
     cfg, params = model
     B = 16
     state = init_state(cfg, (B,))
     tok = jnp.asarray([(i * 13) % cfg.vocab_size for i in range(B)])
     l_ref, s_ref = forward_step(params, tok, state)
-    l_f, s_f = forward_step_fused(params, tok, state, tile=128, interpret=True)
+    l_f, s_f = forward_step_fused(params, tok, state, tile=128, interpret=True,
+                                  fuse_embed=True)
     np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_ref),
                                rtol=1e-4, atol=1e-4)
     for a, b in zip(s_f, s_ref):
