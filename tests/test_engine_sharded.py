@@ -97,3 +97,27 @@ def test_sharded_generate_deterministic(binfile):
         b = eng.generate("Hello", max_tokens=6, seed=4)
     assert a == b
     assert isinstance(a, str)
+
+
+def test_pool_over_sharded_engine():
+    """Continuous batching composes with the sharded engine: the pool
+    drives the engine's tp_step (Pallas body) for the whole batch."""
+    import os
+
+    from rwkv_tpu.runtime.pool import InferencePool
+    from rwkv_tpu.tokenizer.bpe import BPETokenizer
+
+    cfg = RWKVConfig(n_layer=2, n_embd=512)
+    params = quantize_params(init_params(jax.random.PRNGKey(9), cfg))
+    mesh = make_mesh(model=4, data=1)
+    with jax.sharding.set_mesh(mesh):
+        eng = RWKV(sharding=ShardingContext(mesh), max_streams=2)
+        eng.load_params(params)
+        tok = BPETokenizer.load()  # bundled vocab
+        pool = InferencePool(eng.params, tok, max_streams=2,
+                             step_fn=eng._step_fn)
+        a = pool.submit("Hello", max_tokens=4, seed=1)
+        b = pool.submit("World", max_tokens=4, seed=2)
+        out = pool.run()
+    assert sorted(out) == sorted([a, b])
+    assert all(isinstance(v, str) for v in out.values())
