@@ -59,10 +59,20 @@ from rwkv_tpu.ops.pallas.decode_stack import _bsum, _dot, _ln
 def _decode_stack_tp_kernel(
     *refs,
     tp: int, n_att: int, n_ffn: int, tile: int, n_layer: int, n_head: int,
-    model_axis: str, data_axis: str | None,
+    model_axis: str, data_axis: str | None, fuse_embed: int,
 ):
+    if fuse_embed:
+        # scalar prefetch: local row ids + in-my-vocab-shard mask, then one
+        # gathered [1,1,E] emb row per batch element, then ln0
+        _rel_ref, mine_ref = refs[0], refs[1]
+        emb_rows = refs[2:2 + fuse_embed]
+        ln0_w, ln0_b = refs[2 + fuse_embed:4 + fuse_embed]
+        refs = refs[4 + fuse_embed:]
+        x_in = None
+    else:
+        x_in = refs[0]
+        refs = refs[1:]
     (
-        x_in,                                   # [Bp, E] post-ln0 (replicated)
         ln1_w, ln1_b, ln2_w, ln2_b,             # [1, E] layer blocks
         mix_k, mix_v, mix_r, fmix_k, fmix_r,    # [1, E]
         kr, vr, rr, ko, vo, ro,                 # [1, E]
@@ -77,8 +87,8 @@ def _decode_stack_tp_kernel(
         ffnv, fvr, fvo,                         # [1, T, E] i8 / [1, T]
         lnout_w, lnout_b,                       # [1, E]
         hw, hr, ho,                             # [E, HT] i8 / [1, E]
-    ) = refs[:43]
-    i = 43
+    ) = refs[:42]
+    i = 42
     (
         xy_out, dd_out,                         # [1, Bp, E]
         aa_out, bb_out, pp_out,                 # [1, Bp, T]
@@ -228,7 +238,32 @@ def _decode_stack_tp_kernel(
     def _():
         @pl.when(l == 0)
         def _():
-            xcur[:] = x_in[:]
+            if fuse_embed:
+                # vocab-sharded embedding gather: each row's local block
+                # was DMA'd by its prefetched id; rows outside this
+                # chip's shard are masked to zero and the partials
+                # reduced in-kernel (replaces the XLA gather + psum)
+                rows = jnp.concatenate(
+                    [emb_rows[b][0]
+                     * (mine_ref[b] > 0).astype(jnp.float32)
+                     for b in range(fuse_embed)], 0)   # [B, E]
+                pad = xcur.shape[0] - rows.shape[0]
+                if pad:
+                    rows = jnp.concatenate(
+                        [rows,
+                         jnp.broadcast_to(rows[:1], (pad, rows.shape[1]))],
+                        0)
+                if tp > 1:
+                    att_acc[:] = rows
+                    _red_start(att_acc, rs_a, rsa_s, rsa_r)
+                    xcur[:] = jnp.zeros_like(rows)
+                    _red_finish(att_acc, rs_a, ag_a, chunk_a,
+                                (rsa_s, rsa_r, aga_s, aga_r))
+                else:
+                    xcur[:] = rows
+                xcur[:] = _ln(xcur[:], ln0_w[0], ln0_b[0])
+            else:
+                xcur[:] = x_in[:]
 
         @pl.when(l > 0)
         def _():
@@ -397,13 +432,16 @@ def pick_tp_head_tile(n_embd: int, tile: int, v_loc: int, *,
 
 
 def decode_stack_tp(
-    x: jax.Array,            # [B, E] post-ln0 (replicated across shards)
+    x: jax.Array | None,     # [B, E] post-ln0 (replicated); None with
+                             # fuse_embed (token gathers ride in-kernel)
     params: RWKVParams,      # LOCAL shards (inside shard_map), signed int8
     state: WKVState,         # xy/dd [L, B, E]; aa/bb/pp [L, B, E/tp]
     decay_loc: jax.Array,    # [L, E/tp] this shard's channels
     bonus_loc: jax.Array,
     *,
     tp: int,
+    token: jax.Array | None = None,   # [B] int32 GLOBAL ids (fuse_embed)
+    fuse_embed: bool = False,
     tile: int | None = None,
     head_tile: int | None = None,
     interpret=False,
@@ -413,14 +451,27 @@ def decode_stack_tp(
 ) -> Tuple[jax.Array, WKVState]:
     """One decode step on this shard, all layers + local head in ONE kernel
     with in-kernel collectives. Returns (logits_loc [B, Vp/tp], new_state).
-    Call under shard_map; the caller all-gathers the logits."""
+    Call under shard_map; the caller all-gathers the logits.
+
+    fuse_embed: the vocab-sharded embedding gather, its reduction and ln0
+    also run in-kernel (token ids ride as scalar prefetch) — the whole
+    token -> local-logits step is one kernel; the logits gather is the
+    ONLY XLA collective left. Requires B <= 8 (one emb-row ref per row)."""
     att, ffn = params.att, params.ffn
     if att.key.w.dtype != jnp.int8:
         raise TypeError("decode_stack_tp requires signed int8 weights")
     if att.key.w.ndim != 3:
         raise ValueError("decode_stack_tp requires the 3-D weight layout")
     L = att.decay.shape[0]
-    B, E = x.shape
+    if fuse_embed:
+        if token is None:
+            raise ValueError("fuse_embed requires the token array")
+        B = token.shape[0]
+        E = params.emb.shape[1]
+        if B > 8:
+            raise ValueError("fuse_embed supports B <= 8")
+    else:
+        B, E = x.shape
     El = att.key.w.shape[-1]
     Fl = ffn.key.w.shape[-1]
     Vl = params.head.w.shape[-1]
@@ -437,7 +488,8 @@ def decode_stack_tp(
 
     Bp = max(8, -(-B // 8) * 8)
     if Bp != B:
-        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+        if not fuse_embed:
+            x = jnp.pad(x, ((0, Bp - B), (0, 0)))
         state = WKVState(
             *(jnp.pad(s_, ((0, 0), (0, Bp - B), (0, 0))) for s_ in state)
         )
@@ -461,31 +513,49 @@ def decode_stack_tp(
     def r3(a):
         return a.reshape(a.shape[0], 1, a.shape[1])
 
+    # index maps take *a: with fuse_embed the scalar-prefetch refs (rel,
+    # mine) are appended to every signature; the grid step is always a[0]
     def row(width):
-        return pl.BlockSpec((1, 1, width), lambda t: (_l(t), 0, 0),
+        return pl.BlockSpec((1, 1, width), lambda *a: (_l(a[0]), 0, 0),
                             memory_space=pltpu.VMEM)
 
-    att_vec = pl.BlockSpec((1, 1, tile), lambda t: (_l(t), 0, j_att(t)),
+    att_vec = pl.BlockSpec((1, 1, tile), lambda *a: (_l(a[0]), 0, j_att(a[0])),
                            memory_space=pltpu.VMEM)
-    ffn_vec = pl.BlockSpec((1, 1, tile), lambda t: (_l(t), 0, j_ffn(t)),
+    ffn_vec = pl.BlockSpec((1, 1, tile), lambda *a: (_l(a[0]), 0, j_ffn(a[0])),
                            memory_space=pltpu.VMEM)
-    full_state = pl.BlockSpec((1, Bp, E), lambda t: (_l(t), 0, 0),
+    full_state = pl.BlockSpec((1, Bp, E), lambda *a: (_l(a[0]), 0, 0),
                               memory_space=pltpu.VMEM)
-    chan_state = pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+    chan_state = pl.BlockSpec((1, Bp, tile),
+                              lambda *a: (_l(a[0]), 0, j_att(a[0])),
                               memory_space=pltpu.VMEM)
 
     def colT(jm):
-        return pl.BlockSpec((1, E, tile), lambda t: (_l(t), 0, jm(t)),
+        return pl.BlockSpec((1, E, tile), lambda *a: (_l(a[0]), 0, jm(a[0])),
                             memory_space=pltpu.VMEM)
 
     def rowT(jm):
-        return pl.BlockSpec((1, tile, E), lambda t: (_l(t), jm(t), 0),
+        return pl.BlockSpec((1, tile, E), lambda *a: (_l(a[0]), jm(a[0]), 0),
                             memory_space=pltpu.VMEM)
 
     r2 = lambda a: a.reshape(1, a.shape[0])  # noqa: E731
 
-    in_specs = [
-        pl.BlockSpec((Bp, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    if fuse_embed:
+        # one gathered emb-row block per batch element (its block index is
+        # the scalar-prefetched LOCAL row id), then ln0 w/b
+        def emb_spec(b):
+            return pl.BlockSpec(
+                (1, 1, E), lambda t, rel, mine, b=b: (rel[b], 0, 0),
+                memory_space=pltpu.VMEM)
+
+        x_specs = [emb_spec(b) for b in range(B)] + [
+            pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        x_specs = [
+            pl.BlockSpec((Bp, E), lambda *a: (0, 0), memory_space=pltpu.VMEM)
+        ]
+    in_specs = x_specs + [
         row(E), row(E), row(E), row(E),                   # ln1/ln2 w,b
         row(E), row(E), row(E), row(E), row(E),           # mixes
         row(E), row(E), row(E), row(E), row(E), row(E),   # kr vr rr ko vo ro
@@ -498,25 +568,25 @@ def decode_stack_tp(
         colT(j_gate),                                      # wg
         colT(j_ffn),                                       # ffnk
         rowT(j_ffn), ffn_vec, ffn_vec,                     # ffnv, fvr, fvo
-        pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((E, head_tile), lambda t: (0, j_head(t)),
+        pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, head_tile), lambda *a: (0, j_head(a[0])),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = (
-        pl.BlockSpec((1, Bp, E), lambda t: (_l(t), 0, 0),
+        pl.BlockSpec((1, Bp, E), lambda *a: (_l(a[0]), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, E), lambda t: (_l(t), 0, 0),
+        pl.BlockSpec((1, Bp, E), lambda *a: (_l(a[0]), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+        pl.BlockSpec((1, Bp, tile), lambda *a: (_l(a[0]), 0, j_att(a[0])),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+        pl.BlockSpec((1, Bp, tile), lambda *a: (_l(a[0]), 0, j_att(a[0])),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bp, tile), lambda t: (_l(t), 0, j_att(t)),
+        pl.BlockSpec((1, Bp, tile), lambda *a: (_l(a[0]), 0, j_att(a[0])),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bp, head_tile), lambda t: (0, j_head(t)),
+        pl.BlockSpec((Bp, head_tile), lambda *a: (0, j_head(a[0])),
                      memory_space=pltpu.VMEM),
     )
     sds = functools.partial(jax.ShapeDtypeStruct, dtype=f32, vma=vma)
@@ -526,8 +596,13 @@ def decode_stack_tp(
         sds((Bp, Vl)),
     )
 
-    operands = [
-        x,
+    if fuse_embed:
+        Vrows = params.emb.shape[0]
+        emb3 = params.emb.reshape(Vrows, 1, E)
+        x_ops = [emb3] * B + [r2(params.ln0.weight), r2(params.ln0.bias)]
+    else:
+        x_ops = [x]
+    operands = x_ops + [
         r3(params.ln1.weight), r3(params.ln1.bias),
         r3(params.ln2.weight), r3(params.ln2.bias),
         r3(att.mix_k), r3(att.mix_v), r3(att.mix_r),
@@ -563,25 +638,55 @@ def decode_stack_tp(
         _decode_stack_tp_kernel,
         tp=tp, n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L, n_head=n_head,
         model_axis=model_axis, data_axis=data_axis,
+        fuse_embed=(B if fuse_embed else 0),
     )
     weight_bytes = L * (3 * E * El + El * E + E * El + E * Fl + Fl * E) + E * Vl
-    outs = pl.pallas_call(
-        kernel,
-        grid=(L * S + n_head,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=0,
-        ) if tp > 1 else None,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * weight_bytes,
-            bytes_accessed=weight_bytes,
-            transcendentals=L * Bp * (4 * El + Fl),
-        ),
-    )(*operands)
+    cost = pl.CostEstimate(
+        flops=2 * Bp * weight_bytes,
+        bytes_accessed=weight_bytes,
+        transcendentals=L * Bp * (4 * El + Fl),
+    )
+    cparams = pltpu.CompilerParams(
+        has_side_effects=True, collective_id=0,
+    ) if tp > 1 else None
+    if fuse_embed:
+        # local row id + in-shard mask per batch element, precomputed here
+        # (index maps cannot call axis_index); clamp like XLA's gather
+        Vrows = params.emb.shape[0]
+        tokc = jnp.asarray(token, jnp.int32)
+        if tp > 1:
+            lo = jax.lax.axis_index(model_axis) * Vrows
+        else:
+            lo = 0
+        rel = jnp.clip(tokc - lo, 0, Vrows - 1)
+        mine = ((tokc >= lo) & (tokc < lo + Vrows)).astype(jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(L * S + n_head,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=cparams,
+            cost_estimate=cost,
+        )(rel, mine, *operands)
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(L * S + n_head,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            compiler_params=cparams,
+            cost_estimate=cost,
+        )(*operands)
 
     xy, dd, aa, bb, pp = outs[:5]
     logits_loc = outs[5][:B]

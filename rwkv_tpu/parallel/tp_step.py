@@ -211,17 +211,24 @@ def _tp_step_local_pallas(params, token, state, *, n_model: int,
 def _tp_step_local_fused(params, token, state, *, n_model: int,
                          tile: int | None, interpret):
     """The per-shard body as ONE Pallas kernel for the whole stack with
-    in-kernel RDMA collectives (ops/pallas/decode_stack_tp.py). Only the
-    embedding psum and the final logits gather remain XLA collectives."""
+    in-kernel RDMA collectives (ops/pallas/decode_stack_tp.py). At B <= 8
+    even the vocab-sharded embedding gather + reduce + ln0 ride in-kernel,
+    leaving the final logits gather as the ONLY XLA collective per token;
+    larger batches fall back to the XLA embed psum."""
     from rwkv_tpu.ops.pallas.decode_stack_tp import decode_stack_tp
 
     ax = "model"
-    x = _embed_psum(params, token, ax)
     decay_loc = _local_slice(params.att.decay, n_model, ax)
     bonus_loc = _local_slice(params.att.bonus, n_model, ax)
+    fuse = token.shape[0] <= 8
+    if fuse:
+        x = None
+    else:
+        x = _embed_psum(params, token, ax)
     logits_loc, new_state = decode_stack_tp(
         x, params, state, decay_loc, bonus_loc,
-        tp=n_model, tile=tile, interpret=interpret,
+        tp=n_model, token=token if fuse else None, fuse_embed=fuse,
+        tile=tile, interpret=interpret,
     )
     if params.logit_bias is not None:
         logits_loc = logits_loc + params.logit_bias

@@ -74,8 +74,13 @@ def test_tp1_state_carry(model):
 
 
 def test_tp2_shard_map_rdma_parity(model):
-    """tp=2 under shard_map: the in-kernel direct-exchange collectives
-    (simulated RDMAs) must reproduce the unsharded step exactly."""
+    """tp=2 under shard_map: the in-kernel collectives (simulated RDMAs)
+    must reproduce the unsharded step exactly — and the happens-before
+    race detector must stay quiet (validates the cross-layer buffer-reuse
+    ordering argument: each exchange's sends transitively require every
+    peer to have consumed the previous layer's buffers)."""
+    from jax.experimental.pallas import tpu as pltpu
+
     cfg, params = model
     mesh = make_mesh(model=2, data=1)
     B = 2
@@ -85,7 +90,8 @@ def test_tp2_shard_map_rdma_parity(model):
 
     p_sh = shard_params(params, mesh)
     st_sh = shard_state(state, mesh, batched=True)
-    step = make_tp_step(mesh, params, body="fused", interpret=True)
+    step = make_tp_step(mesh, params, body="fused",
+                        interpret=pltpu.InterpretParams(detect_races=True))
     with jax.sharding.set_mesh(mesh):
         l_tp, s_tp = step(p_sh, tok, st_sh)
     np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
@@ -93,12 +99,17 @@ def test_tp2_shard_map_rdma_parity(model):
     for a, b in zip(s_tp, s_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-4)
+    try:  # internal flag; absence just skips the extra assertion
+        from jax._src.pallas.mosaic.interpret import interpret_pallas_call
+        assert not getattr(interpret_pallas_call.races, "races_found", False)
+    except ImportError:
+        pass
 
 
 def test_fused_body_xla_collective_count(model):
-    """With the collectives inside the kernel, the compiled program must
-    contain ONLY the embedding psum and the logits gather as XLA
-    collectives — 2 per token total, independent of depth."""
+    """With the collectives (including the embedding reduce) inside the
+    kernel, the compiled program contains exactly ONE XLA collective per
+    token — the logits gather — independent of depth."""
     import re
 
     cfg, params = model
@@ -115,7 +126,7 @@ def test_fused_body_xla_collective_count(model):
            r"reduce-scatter)(?:-start)?\(")
     for m in re.finditer(pat, hlo):
         counts[m.group(1)] = counts.get(m.group(1), 0) + 1
-    assert counts.get("all-reduce", 0) == 1, counts   # embed psum
+    assert counts.get("all-reduce", 0) == 0, counts
     assert counts.get("all-gather", 0) == 1, counts   # logits gather
     assert counts.get("all-to-all", 0) == 0, counts
     assert counts.get("reduce-scatter", 0) == 0, counts
