@@ -177,18 +177,26 @@ def write_bin(path: str, params: RWKVParams) -> None:
     ln[4 * a + 2], ln[4 * a + 3] = h(params.ln_out.weight, "f8"), h(params.ln_out.bias, "f8")
 
     empty = np.zeros((a, b), dtype="<f8")
-    neg = np.full((a, b), -1e30, dtype="<f8")
+    # -1e30 via a float32 round-trip: the reference converter builds the
+    # empty state from a default-dtype (f32) torch tensor before .double()
+    # (convert_model.py:19-25), so the stored f64 is f32(-1e30) widened —
+    # matching it makes our .bin BYTE-IDENTICAL to the reference
+    # converter's (pinned in tests/test_convert.py).
+    neg = np.full((a, b), np.float32(-1e30), dtype="<f8")
 
     data = {
-        "xbuf": np.zeros((b,), "<f8"),
+        # scratch rows: readers ignore the content, but the reference
+        # writes torch.arange (convert_model.py:99-106) — mirror it for
+        # byte-identical output
+        "xbuf": np.arange(b, dtype="<f8"),
         "embed": emb_out,
         "layernorms": ln,
         "state_xy": empty, "state_aa": empty, "state_bb": empty,
         "state_pp": neg, "state_dd": empty,
-        "buffer1": np.zeros((b,), "<f8"),
-        "buffer2": np.zeros((VOCAB,), "<f4"),
-        "buffer3": np.zeros((b,), "<f4"),
-        "buffer4": np.zeros((b,), "<f4"),
+        "buffer1": np.arange(b, dtype="<f8"),
+        "buffer2": np.arange(VOCAB, dtype="<f4"),
+        "buffer3": np.arange(b, dtype="<f4"),
+        "buffer4": np.arange(b, dtype="<f4"),
         "mix_k": h(params.att.mix_k, "<f8"),
         "mix_v": h(params.att.mix_v, "<f8"),
         "mix_r": h(params.att.mix_r, "<f8"),
@@ -215,9 +223,9 @@ def write_bin(path: str, params: RWKVParams) -> None:
         "ffn_ko": h(params.ffn.key.offset, "<f4"),
         "ffn_vo": h(params.ffn.value.offset, "<f4"),
         "ffn_ro": h(params.ffn.receptance.offset, "<f4"),
-        "ffn_k_buffer": np.zeros((b,), "<f8"),
-        "ffn_v_buffer": np.zeros((b,), "<f8"),
-        "ffn_r_buffer": np.zeros((4 * b,), "<f4"),
+        "ffn_k_buffer": np.arange(b, dtype="<f8"),
+        "ffn_v_buffer": np.arange(b, dtype="<f8"),
+        "ffn_r_buffer": np.arange(4 * b, dtype="<f4"),
         "decay": h(params.att.decay, "<f8"),
         "bonus": h(params.att.bonus, "<f8"),
         "head": head_w_out,

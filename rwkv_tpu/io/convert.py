@@ -218,8 +218,17 @@ def convert(pth_path: str, out_path: str) -> None:
         if name == "bonus":
             return stack_sq("blocks.{}.att.time_first")
         if name == "state_pp":
-            return np.full(spec.shape(L, E), -1e30)
-        # scratch buffers / empty state: zeros
+            # f32 round-trip of -1e30: matches the reference converter's
+            # default-dtype tensor (see io/binfmt.py) — keeps the output
+            # byte-identical to the reference converter's .bin
+            return np.full(spec.shape(L, E), np.float32(-1e30))
+        if name.endswith("buffer") or name in (
+                "xbuf", "buffer1", "buffer2", "buffer3", "buffer4"):
+            # scratch rows: content ignored by readers; the reference
+            # writes torch.arange — mirror it (byte parity)
+            n = spec.numel(L, E)
+            return np.arange(n).reshape(spec.shape(L, E))
+        # empty state: zeros
         return np.zeros(spec.shape(L, E))
 
     print(f"writing {out_path} ...", file=sys.stderr)

@@ -133,3 +133,47 @@ def test_streaming_convert_bit_identical_to_inmemory(tmp_path):
                 x.astype(np.float32), y.astype(np.float32))
         else:
             assert da[off:off + n] == db[off:off + n], name
+
+
+def test_byte_identical_to_reference_converter(tmp_path):
+    """The ultimate converter parity proof: run the REFERENCE converter
+    (its own code, JIT-compiled libtorch saver) on a synthetic .pth and
+    byte-compare its .bin with ours. Every real tensor — quantized
+    weights, scales, offsets, layernorms, mixes, decay/bonus, head — plus
+    the scratch rows and the f32-round-tripped empty state must match
+    exactly."""
+    import os
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    REF = "/root/reference/converter"
+    if not os.path.isfile(os.path.join(REF, "convert_model.py")):
+        pytest.skip("reference checkout unavailable")
+    if shutil.which("ninja") is None and shutil.which("g++") is None:
+        pytest.skip("no native toolchain for the reference's JIT saver")
+
+    work = tmp_path / "refconv"
+    (work / "conv").mkdir(parents=True)
+    shutil.copy(os.path.join(REF, "convert_model.py"), work / "conv")
+    shutil.copy(os.path.join(REF, "cpp_save_tensor.cpp"), work / "conv")
+    # the saver's extra_include_paths expects ../include relative to itself
+    os.symlink("/root/reference/include", work / "include")
+
+    pth = str(work / "toy.pth")
+    make_synthetic_pth(pth, n_layer=2, n_embd=16)
+
+    r = subprocess.run(
+        [_sys.executable, "convert_model.py", "../toy.pth"],
+        cwd=work / "conv", capture_output=True, text=True, timeout=540,
+    )
+    ref_bin = work / "conv" / "model.bin"
+    if r.returncode != 0 or not ref_bin.is_file():
+        pytest.skip(f"reference converter did not run here: {r.stderr[-300:]}")
+
+    ours = str(work / "ours.bin")
+    convert(pth, ours)
+    a = ref_bin.read_bytes()
+    b = open(ours, "rb").read()
+    assert len(a) == len(b)
+    assert a == b, "converter output diverged from the reference's bytes"
