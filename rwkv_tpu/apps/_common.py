@@ -15,10 +15,19 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default=os.environ.get("MODEL_PATH"),
                    help="path to a .bin checkpoint (reference format)")
     p.add_argument("--vocab", default=DEFAULT_VOCAB,
-                   help="dir with vocab.json + merges.txt ($RWKV_TPU_VOCAB)")
+                   help="dir with vocab.json + merges.txt "
+                        "(default: the bundled 50,277-entry vocab)")
     p.add_argument("--mock", action="store_true",
                    help="tiny random-weights model (demo/tests, no checkpoint)")
     p.add_argument("--streams", type=int, default=1, help="max parallel streams")
+    p.add_argument("--shards", type=int, default=1, metavar="TP",
+                   help="tensor-parallel width: shard the model over TP "
+                        "devices (decode runs the minimal-collective "
+                        "shard_map step; parallel/tp_step.py)")
+    p.add_argument("--tp-body", choices=("xla", "pallas", "fused"),
+                   default=None,
+                   help="TP step body (default auto: fused per-shard "
+                        "Pallas kernels when E/TP is lane-aligned)")
     p.add_argument("--bf16-prefill", action="store_true",
                    help="bf16 matmuls for prompt ingest (~2x; see BENCH_NOTES)")
     p.add_argument("--temp", type=float, default=0.9)
@@ -30,7 +39,15 @@ def build_engine(args) -> RWKV:
     import jax.numpy as jnp
 
     pdt = jnp.bfloat16 if getattr(args, "bf16_prefill", False) else jnp.float32
-    eng = RWKV(max_streams=args.streams, prefill_dtype=pdt)
+    sharding = None
+    if getattr(args, "shards", 1) > 1:
+        from rwkv_tpu.parallel.mesh import make_mesh
+        from rwkv_tpu.parallel.sharding import ShardingContext
+
+        sharding = ShardingContext(make_mesh(model=args.shards, data=1))
+        print(f"[tp] sharding over {args.shards} devices", file=sys.stderr)
+    eng = RWKV(max_streams=args.streams, prefill_dtype=pdt,
+               sharding=sharding, tp_body=getattr(args, "tp_body", None))
     if args.mock:
         import jax
 
@@ -48,9 +65,10 @@ def build_engine(args) -> RWKV:
         print("error: need --model PATH or --mock", file=sys.stderr)
         sys.exit(2)
 
-    if args.vocab:
-        eng.load_tokenizer(args.vocab)
-    else:
-        print("error: need --vocab DIR (or $RWKV_TPU_VOCAB)", file=sys.stderr)
+    try:
+        eng.load_tokenizer(args.vocab)  # None -> bundled 50,277-entry vocab
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: no tokenizer vocab ({e}); pass --vocab DIR or set "
+              f"$RWKV_TPU_VOCAB", file=sys.stderr)
         sys.exit(2)
     return eng

@@ -159,7 +159,9 @@ def make_handler(eng, lock, runner=None):
                     return self._json(400, {"error": "bad 'max_tokens'"})
                 ban = req.get("ban_tokens", [0])
                 if (not isinstance(ban, list)
-                        or not all(isinstance(t, int) and 0 <= t for t in ban)):
+                        or not all(isinstance(t, int)
+                                   and not isinstance(t, bool)  # true != id 1
+                                   and 0 <= t for t in ban)):
                     return self._json(
                         400, {"error": "'ban_tokens' must be a list of "
                                        "non-negative token ids"})

@@ -421,12 +421,25 @@ def pick_tp_head_tile(n_embd: int, tile: int, v_loc: int, *,
                       e_loc: int | None = None, tp: int = 1, bp: int = 8,
                       vmem_budget: int = 15 * 1024 * 1024) -> int:
     """Widest 128-multiple divisor of the LOCAL vocab shard whose
-    double-buffered blocks fit beside the 7 layer streams + fixed scratch."""
+    double-buffered blocks fit beside the 7 layer streams + fixed scratch.
+
+    v_loc itself must be a 128 multiple (pad the vocab to a 128*tp
+    multiple first — runtime/engine.py does); a misaligned shard would
+    only surface as a Mosaic lowering failure on real hardware, so fail
+    loudly here instead."""
+    if v_loc % 128:
+        raise ValueError(
+            f"local vocab shard {v_loc} is not a multiple of 128; pad the "
+            f"vocab to a multiple of 128*tp (models.rwkv4.pad_vocab)"
+        )
     fixed = _fixed_scratch_bytes(n_embd, e_loc or n_embd, tp, bp)
     layer_bytes = 14 * n_embd * tile
-    for ht in range(v_loc, 127, -128):
-        if (v_loc % ht == 0
-                and layer_bytes + 2 * n_embd * ht + fixed <= vmem_budget):
+    # enumerate 128-multiple divisors, widest first (range(v_loc,127,-128)
+    # would only visit values congruent to v_loc mod 128)
+    for ht in sorted(
+            (h for h in range(128, v_loc + 1, 128) if v_loc % h == 0),
+            reverse=True):
+        if layer_bytes + 2 * n_embd * ht + fixed <= vmem_budget:
             return ht
     return 128
 

@@ -234,7 +234,11 @@ class RWKV:
 
             mesh = getattr(self._sharding, "mesh", self._sharding)
             tp = mesh.shape["model"]
-            if params.head.w.shape[-1] % math.lcm(128, tp):
+            # the PER-SHARD vocab Vp/tp must be lane-aligned (the fused
+            # body's head tiling needs it): repad unless Vp % (128*tp)==0
+            # — lcm(128, tp) was wrong (50688 at tp=8 passed it with a
+            # misaligned 6336-wide shard)
+            if params.head.w.shape[-1] % (128 * tp):
                 params = pad_vocab(params, multiple=math.lcm(512, 128 * tp))
                 cfg = params.config
             params = signedize_params(params)
@@ -512,39 +516,27 @@ class RWKV:
         token, key = self._jit_sample(logits, key, tempf, tauf, ban)
         state = self.get_state(stream)
 
+        from rwkv_tpu.utils.text import StopScanner
+
         decoder = StreamDecoder(self.tokenizer)
         pieces: list[str] = []
         n_ids = 1  # token ids decoded (first one just sampled)
-
-        # Windowed stop-string scan: only the last max(len(stop))-1 chars
-        # carry across pieces, so each new piece is scanned once —
-        # O(len(piece)) per token instead of re-joining/re-scanning the
-        # whole transcript (O(n^2) over a long generation).
-        maxstop = max((len(s) for s in stop), default=0) if stop else 0
-        window = ""
-        emitted = 0     # total chars in `pieces`
-        cut: Optional[int] = None
+        # windowed stop-string scan (O(len(piece)) per token; shared with
+        # the pool — utils/text.py)
+        scanner = StopScanner(stop)
 
         def feed(piece: str) -> None:
-            nonlocal window, emitted, cut
             if not piece:
                 return
             pieces.append(piece)
             if on_text:
                 on_text(piece)
-            if stop and cut is None:
-                seg = window + piece
-                hits = [seg.find(s) for s in stop if s in seg]
-                if hits:
-                    cut = emitted - len(window) + min(hits)
-                if maxstop > 1:
-                    window = seg[-(maxstop - 1):]
-            emitted += len(piece)
+            scanner.feed(piece)
 
         feed(decoder.feed([int(token)]))
 
         remaining = max_tokens - 1
-        while remaining > 0 and cut is None:
+        while remaining > 0 and scanner.cut is None:
             # tail chunks stay chunked: a 7-token tail under chunk=8 is ONE
             # k=7 program (one extra jit cache entry), not 7 dispatches
             k = min(chunk, remaining)
@@ -564,8 +556,8 @@ class RWKV:
             for tid in ids:
                 feed(decoder.feed([int(tid)]))
 
-        if cut is not None:
-            text = "".join(pieces)[:cut]
+        if scanner.cut is not None:
+            text = "".join(pieces)[:scanner.cut]
         else:
             text = "".join(pieces) + decoder.flush()
 

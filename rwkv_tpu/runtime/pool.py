@@ -29,6 +29,7 @@ from rwkv_tpu.models.rwkv4 import (
 )
 from rwkv_tpu.ops.sampling import typical
 from rwkv_tpu.utils.metrics import metrics
+from rwkv_tpu.utils.text import StopScanner
 from rwkv_tpu.tokenizer.bpe import BPETokenizer, StreamDecoder
 
 
@@ -50,21 +51,13 @@ class Request:
     pieces: list = dataclasses.field(default_factory=list)
     done: bool = False
     text: str = ""
-    # stop-string scanning state: only the last max(len(stop))-1 chars are
-    # kept — a match ending in a new piece is found in window+piece, so the
-    # scan is O(len(piece)) per token, not O(total_text) (a 2k-token
-    # generation would otherwise rescan megabytes)
-    _window: str = ""
-    _maxstop: int = 0
+    # windowed stop-string detection, shared with engine.generate
+    # (utils/text.py): O(len(piece)) per token, tracks the earliest
+    # match's global index for exact truncation
+    scanner: Optional[StopScanner] = None
 
     def saw_stop(self, piece: str) -> bool:
-        if not self.stop:
-            return False
-        seg = self._window + piece
-        hit = any(s in seg for s in self.stop)
-        if self._maxstop > 1:
-            self._window = seg[-(self._maxstop - 1):]
-        return hit
+        return self.scanner.feed(piece) if self.scanner else False
 
 
 class InferencePool:
@@ -199,7 +192,7 @@ class InferencePool:
             on_text=on_text,
             ban_tokens=tuple(ban_tokens),
         )
-        req._maxstop = max((len(s) for s in stop), default=0) if stop else 0
+        req.scanner = StopScanner(stop) if stop else None
         self._queue.append(req)
         return rid
 
@@ -229,11 +222,24 @@ class InferencePool:
         try:
             return self._admit_batch(reqs, slots)
         except BaseException:
-            # a failed prefill must not leak capacity: give the slots back
-            # and requeue the requests (the caller decides their fate —
-            # PoolRunner fails them; a retrying caller gets them again)
-            self._free = slots + self._free
-            self._queue = reqs + self._queue
+            # A failed admission must not leak capacity — but some of the
+            # batch may already be FINISHED (first-token completion calls
+            # _finish, which freed that slot) or fully registered, so roll
+            # back per request: done requests keep their completed state
+            # (their slot is already back in _free), everything else is
+            # de-registered, its slot freed exactly once, and requeued in
+            # order for the caller to retry or fail.
+            requeue = []
+            for req, slot in zip(reqs, slots):
+                if req.done:
+                    continue
+                if self._by_slot.get(slot) is req:
+                    del self._by_slot[slot]
+                self._active[slot] = False
+                if slot not in self._free:
+                    self._free.append(slot)
+                requeue.append(req)
+            self._queue[:0] = requeue
             raise
 
     def _admit_batch(self, reqs, slots):
@@ -316,11 +322,11 @@ class InferencePool:
             req.pieces.append(tail)
             if req.on_text:
                 req.on_text(tail)
+            if req.scanner:
+                req.scanner.feed(tail)  # a stop may complete in the tail
         text = "".join(req.pieces)
-        if req.stop:
-            hits = [text.find(s) for s in req.stop if s in text]
-            if hits:
-                text = text[: min(hits)]
+        if req.scanner and req.scanner.cut is not None:
+            text = text[: req.scanner.cut]
         req.text = text
         req.done = True
         metrics.inc("pool.requests_completed")

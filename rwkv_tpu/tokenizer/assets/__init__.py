@@ -56,13 +56,23 @@ def ensure_files(cache_dir: str | None = None) -> str:
         return cache_dir
     vocab, merges = load_bundle()
     os.makedirs(cache_dir, exist_ok=True)
-    tmp_v, tmp_m = vpath + ".tmp", mpath + ".tmp"
-    with open(tmp_v, "w", encoding="utf-8") as f:
-        json.dump(vocab, f, ensure_ascii=False, indent=4)
-    with open(tmp_m, "w", encoding="utf-8") as f:
-        f.write("#version: 0.2\n")
-        for a, b in merges:
-            f.write(f"{a} {b}\n")
-    os.replace(tmp_v, vpath)
-    os.replace(tmp_m, mpath)
+    # per-process temp names: two concurrent first-runs must not interleave
+    # writes into a shared .tmp and install a corrupted cache
+    import tempfile
+
+    fd_v, tmp_v = tempfile.mkstemp(dir=cache_dir, suffix=".vocab.tmp")
+    fd_m, tmp_m = tempfile.mkstemp(dir=cache_dir, suffix=".merges.tmp")
+    try:
+        with os.fdopen(fd_v, "w", encoding="utf-8") as f:
+            json.dump(vocab, f, ensure_ascii=False, indent=4)
+        with os.fdopen(fd_m, "w", encoding="utf-8") as f:
+            f.write("#version: 0.2\n")
+            for a, b in merges:
+                f.write(f"{a} {b}\n")
+        os.replace(tmp_v, vpath)
+        os.replace(tmp_m, mpath)
+    finally:
+        for t in (tmp_v, tmp_m):
+            if os.path.exists(t):
+                os.unlink(t)
     return cache_dir

@@ -187,3 +187,13 @@ def test_vectordb_batch_index_matches_sequential(capsys):
     bat.add_batch(FACTS[:3])
     q = "capital city of France"
     assert [t for t, _ in seq.query(q, 3)] == [t for t, _ in bat.query(q, 3)]
+
+
+def test_storygen_sharded_cli(capsys):
+    """--shards N builds a TP-sharded engine behind the same CLI; bundled
+    vocab means no --vocab needed."""
+    import rwkv_tpu.apps.storygen as sg
+
+    sg.main(["--mock", "--stories", "1", "--max-tokens", "5", "--shards", "2"])
+    out = capsys.readouterr().out
+    assert out.strip()

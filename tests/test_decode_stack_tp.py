@@ -130,3 +130,35 @@ def test_fused_body_xla_collective_count(model):
     assert counts.get("all-gather", 0) == 1, counts   # logits gather
     assert counts.get("all-to-all", 0) == 0, counts
     assert counts.get("reduce-scatter", 0) == 0, counts
+
+
+def test_pick_tp_head_tile_alignment():
+    """Head tiles must be 128-multiple DIVISORS of the local vocab shard;
+    a misaligned shard (e.g. 50688/8 = 6336) must fail loudly here rather
+    than as a real-chip Mosaic lowering error."""
+    from rwkv_tpu.ops.pallas.decode_stack_tp import pick_tp_head_tile
+
+    with pytest.raises(ValueError):
+        pick_tp_head_tile(2048, 128, 6336, e_loc=256, tp=8)
+    for v_loc in (6400, 12672, 50688, 25344):
+        ht = pick_tp_head_tile(1024, 256, v_loc, e_loc=256, tp=4)
+        assert v_loc % ht == 0 and ht % 128 == 0, (v_loc, ht)
+
+
+def test_engine_repads_for_per_shard_alignment():
+    """A 512-padded vocab (50688) at tp=8 has a misaligned 6336-wide
+    shard; the sharded engine must repad so Vp % (128*tp) == 0."""
+    from rwkv_tpu.models.rwkv4 import init_params, quantize_params
+    from rwkv_tpu.parallel.sharding import ShardingContext
+    from rwkv_tpu.runtime.engine import RWKV
+
+    cfg = RWKVConfig(n_layer=1, n_embd=128)  # vocab 50277
+    params = pad_vocab(quantize_params(init_params(jax.random.PRNGKey(3), cfg)),
+                       multiple=512)          # 50688: % (128*8) != 0
+    mesh = make_mesh(model=8, data=1)
+    with jax.sharding.set_mesh(mesh):
+        eng = RWKV(sharding=ShardingContext(mesh))
+        eng.load_params(params)
+    Vp = eng.params.head.w.shape[-1]
+    assert Vp % (128 * 8) == 0, Vp
+    assert eng._true_vocab == 50277
