@@ -154,6 +154,11 @@ def main():
             from rwkv_tpu.ops.pallas.decode_stack import pick_tile
 
             ptile = tile if tile else pick_tile(cfg.n_embd)
+        elif impl == "tpfused" and mode_env != "prefill":
+            from rwkv_tpu.ops.pallas.decode_stack_tp import pick_tp_fused_tile
+
+            ptile = tile if tile else pick_tp_fused_tile(
+                cfg.n_embd, cfg.n_embd, 1)
         params = random_quantized_params_device(cfg, seed=0, pretile=ptile)
 
     state = init_state(cfg, (batch,)) if batch > 1 else init_state(cfg)

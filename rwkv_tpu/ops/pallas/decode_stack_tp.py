@@ -59,7 +59,7 @@ from rwkv_tpu.ops.pallas.decode_stack import _bsum, _dot, _ln
 def _decode_stack_tp_kernel(
     *refs,
     tp: int, n_att: int, n_ffn: int, tile: int, n_layer: int, n_head: int,
-    model_axis: str, data_axis: str | None, fuse_embed: int,
+    model_axis: str, data_axis: str | None, fuse_embed: int, pretiled: bool,
 ):
     if fuse_embed:
         # scalar prefetch: local row ids + in-my-vocab-shard mask, then one
@@ -116,6 +116,11 @@ def _decode_stack_tp_kernel(
     s = t - l * S                    # head phase (l = L-1) => s in [S, S+H)
 
     OFFK, OFFV, OFFR, OUTO, FFK, FFR, FFV, HOF = range(8)
+
+    def w2(r):
+        """[E, tile] view of a column-sliced weight block (4-D when
+        pretile_params laid the family out as contiguous blocks)."""
+        return r[0, 0] if pretiled else r[0]
 
     El = gate_buf.shape[-1]
     if tp > 1:
@@ -288,9 +293,9 @@ def _decode_stack_tp_kernel(
     # ------------------------------------------------------------- att tiles
     @pl.when(s < n_att)
     def _():
-        k_t = _dot(xs_k[:], km[0]) + offs[OFFK][:, :1]
-        v_t = _dot(xs_v[:], vm[0]) + offs[OFFV][:, :1]
-        r_t = _dot(xs_r[:], rm[0]) + offs[OFFR][:, :1]
+        k_t = _dot(xs_k[:], w2(km)) + offs[OFFK][:, :1]
+        v_t = _dot(xs_v[:], w2(vm)) + offs[OFFV][:, :1]
+        r_t = _dot(xs_r[:], w2(rm)) + offs[OFFR][:, :1]
 
         w_t, u_t = decay[0], bonus[0]
         aa, bb, pp = aa_in[0], bb_in[0], pp_in[0]
@@ -346,7 +351,7 @@ def _decode_stack_tp_kernel(
 
         @pl.when(j < n_att)
         def _():
-            g_t = _dot(xs_fr[:], wg[0]) + offs[FFR][:, :1]
+            g_t = _dot(xs_fr[:], w2(wg)) + offs[FFR][:, :1]
             gate_buf[:, pl.ds(j * tile, tile)] = 1.0 / (1.0 + jnp.exp(-g_t))
 
             @pl.when(j == n_att - 1)
@@ -356,7 +361,7 @@ def _decode_stack_tp_kernel(
                 if tp > 1:
                     _gate_start()
 
-        h_t = _dot(xs_fk[:], ffnk[0]) + offs[FFK][:, :1]
+        h_t = _dot(xs_fk[:], w2(ffnk)) + offs[FFK][:, :1]
         h_t = jnp.maximum(h_t, 0.0)
         h_t = h_t * h_t
         vacc[:] += _dot(h_t * fvr[0], ffnv[0])
@@ -407,8 +412,11 @@ def pick_tp_fused_tile(n_embd: int, e_loc: int, tp: int, bp: int = 8,
     scratch above. (Measured: the 8·E·tile att-only estimate OOM'd real
     Mosaic at 430M/tp=1 — 18.4M requested of 16M.)"""
     fixed = _fixed_scratch_bytes(n_embd, e_loc, tp, bp)
-    for t in (512, 384, 256, 128):
-        if (e_loc % t == 0
+    # full-width local tile first (fewer grid steps measurably win at
+    # small E — same rationale as decode_stack.pick_tile's E-first probe)
+    for t in (e_loc, 512, 384, 256, 128):
+        if (e_loc % t == 0 and t % 128 == 0
+                and (t == e_loc or t <= 512)
                 and 14 * n_embd * t + 2 * n_embd * 128 + fixed <= vmem_budget):
             return t
     raise ValueError(
@@ -473,8 +481,7 @@ def decode_stack_tp(
     att, ffn = params.att, params.ffn
     if att.key.w.dtype != jnp.int8:
         raise TypeError("decode_stack_tp requires signed int8 weights")
-    if att.key.w.ndim != 3:
-        raise ValueError("decode_stack_tp requires the 3-D weight layout")
+    pretiled = att.key.w.ndim == 4   # [L, O_loc/t, E, t] contiguous blocks
     L = att.decay.shape[0]
     if fuse_embed:
         if token is None:
@@ -485,11 +492,22 @@ def decode_stack_tp(
             raise ValueError("fuse_embed supports B <= 8")
     else:
         B, E = x.shape
-    El = att.key.w.shape[-1]
-    Fl = ffn.key.w.shape[-1]
+    if pretiled:
+        # contiguous-block layout (decode_stack.pretile_params, sharded on
+        # the block dim): tile is baked into the trailing dim
+        pt = att.key.w.shape[-1]
+        if tile is None:
+            tile = pt
+        elif tile != pt:
+            raise ValueError(f"params pretiled for tile={pt}, got {tile}")
+        El = att.key.w.shape[1] * pt
+        Fl = ffn.key.w.shape[1] * pt
+    else:
+        El = att.key.w.shape[-1]
+        Fl = ffn.key.w.shape[-1]
+        if tile is None:
+            tile = pick_tp_fused_tile(E, El, tp)
     Vl = params.head.w.shape[-1]
-    if tile is None:
-        tile = pick_tp_fused_tile(E, El, tp)
     assert El % tile == 0 and Fl % tile == 0, (El, Fl, tile)
     n_att, n_ffn = El // tile, Fl // tile
     assert n_ffn >= n_att, "gate tiles ride the first ffn steps (F = 4E)"
@@ -543,6 +561,11 @@ def decode_stack_tp(
                               memory_space=pltpu.VMEM)
 
     def colT(jm):
+        if pretiled:
+            # contiguous [E, tile] blocks: one linear DMA per block
+            return pl.BlockSpec((1, 1, E, tile),
+                                lambda *a: (_l(a[0]), jm(a[0]), 0, 0),
+                                memory_space=pltpu.VMEM)
         return pl.BlockSpec((1, E, tile), lambda *a: (_l(a[0]), 0, jm(a[0])),
                             memory_space=pltpu.VMEM)
 
@@ -651,7 +674,7 @@ def decode_stack_tp(
         _decode_stack_tp_kernel,
         tp=tp, n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L, n_head=n_head,
         model_axis=model_axis, data_axis=data_axis,
-        fuse_embed=(B if fuse_embed else 0),
+        fuse_embed=(B if fuse_embed else 0), pretiled=pretiled,
     )
     weight_bytes = L * (3 * E * El + El * E + E * El + E * Fl + Fl * E) + E * Vl
     cost = pl.CostEstimate(

@@ -62,6 +62,12 @@ def param_pspecs(params: RWKVParams, n_model: int | None = None) -> RWKVParams:
     vocab_ok = n_model is None or (V % n_model == 0)
 
     def mk(linp, row_parallel):
+        if (isinstance(linp, QuantLinear)
+                and getattr(linp.w, "ndim", 3) == 4):
+            # pretiled contiguous-block layout [L, O/t, E, t]
+            # (decode_stack.pretile_params — column families only): shard
+            # the BLOCK dim, which partitions the same output columns
+            return _q(P(None, "model", None, None), rep)
         w = P(None, "model", None) if row_parallel else P(None, None, "model")
         if isinstance(linp, QuantLinear):
             vec = P(None, "model") if row_parallel else rep

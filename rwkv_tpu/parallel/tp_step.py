@@ -268,18 +268,29 @@ def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
             f"apply models.rwkv4.pad_vocab first (got {V})"
         )
     E = params.emb.shape[1]
+    ndimw = params.att.key.w.ndim
     pallas_ok = (
         params.att.key.w.dtype == jnp.int8
-        and params.att.key.w.ndim == 3      # pretiled 4-D layout: XLA body
+        and ndimw in (3, 4)
         and E % tp == 0
         and (E // tp) % 128 == 0
+        # pretiled [L, O/t, E, t]: the block dim must shard evenly
+        and (ndimw == 3 or params.att.key.w.shape[1] % tp == 0)
     )
     if body is None:
-        body = "pallas" if pallas_ok else "xla"
+        if pallas_ok:
+            # the half-kernel body only takes the plain 3-D layout; the
+            # fused kernel handles both
+            body = "pallas" if ndimw == 3 else "fused"
+        else:
+            body = "xla"
+    if body == "pallas" and ndimw == 4:
+        raise ValueError("body='pallas' needs the 3-D weight layout; "
+                         "pretiled params run with body='fused'")
     if body in ("pallas", "fused"):
         if not pallas_ok:
             raise ValueError(
-                f"body={body!r} requires signed int8 3-D weights "
+                f"body={body!r} requires signed int8 weights "
                 "(models.rwkv4.signedize_params) and E/tp a multiple of "
                 f"128 (got dtype={params.att.key.w.dtype}, E={E}, tp={tp})"
             )

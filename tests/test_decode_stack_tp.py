@@ -162,3 +162,27 @@ def test_engine_repads_for_per_shard_alignment():
     Vp = eng.params.head.w.shape[-1]
     assert Vp % (128 * 8) == 0, Vp
     assert eng._true_vocab == 50277
+
+
+def test_tp2_pretiled_parity(model):
+    """Pretiled (contiguous-block) weights shard on the block dim and run
+    through the fused TP kernel (auto-selected for the 4-D layout)."""
+    from rwkv_tpu.ops.pallas.decode_stack import pretile_params
+
+    cfg, params = model
+    pt = pretile_params(params, tile=128)
+    mesh = make_mesh(model=2, data=1)
+    B = 2
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray([5, 9], jnp.int32)
+    l_ref, s_ref = forward_step(params, tok, state)
+    p_sh = shard_params(pt, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, pt, interpret=True)   # auto: 4-D -> fused
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = step(p_sh, tok, st_sh)
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
