@@ -154,11 +154,12 @@ def main():
             from rwkv_tpu.ops.pallas.decode_stack import pick_tile
 
             ptile = tile if tile else pick_tile(cfg.n_embd)
-        elif impl == "tpfused" and mode_env != "prefill":
-            from rwkv_tpu.ops.pallas.decode_stack_tp import pick_tp_fused_tile
-
-            ptile = tile if tile else pick_tp_fused_tile(
-                cfg.n_embd, cfg.n_embd, 1)
+        # NOTE: impl=tpfused deliberately does NOT pretile: measured at
+        # 430M, the 4-D contiguous-block layout made the TP kernel 20%
+        # SLOWER (1,713 vs 2,157 tok/s at identical tile=512) — the
+        # opposite of the single-chip kernel's +0.5-3%. Kernel support
+        # exists (tested); fabrication stays 3-D until that inversion is
+        # understood.
         params = random_quantized_params_device(cfg, seed=0, pretile=ptile)
 
     state = init_state(cfg, (batch,)) if batch > 1 else init_state(cfg)
