@@ -197,3 +197,17 @@ def test_storygen_sharded_cli(capsys):
     sg.main(["--mock", "--stories", "1", "--max-tokens", "5", "--shards", "2"])
     out = capsys.readouterr().out
     assert out.strip()
+
+
+def test_server_ban_tokens_validation(server):
+    """/complete rejects malformed ban lists (incl. JSON booleans — bool is
+    an int subclass) and accepts a real one."""
+    code, _ = _post(server, "/complete",
+                    {"prompt": "Hi", "max_tokens": 2, "ban_tokens": [True]})
+    assert code == 400
+    code, _ = _post(server, "/complete",
+                    {"prompt": "Hi", "max_tokens": 2, "ban_tokens": [-3]})
+    assert code == 400
+    code, body = _post(server, "/complete",
+                       {"prompt": "Hi", "max_tokens": 2, "ban_tokens": [0, 5]})
+    assert code == 200 and "completion" in body
