@@ -330,6 +330,133 @@ def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
     return jax.jit(sm) if jit else sm
 
 
+def _tp_seq_local(params, tokens, state, length, *, n_model: int,
+                  compute_dtype):
+    """Per-shard BATCHED PREFILL body: [T, B] tokens through the parallel
+    WKV scan with the SAME layouts and minimal collective schedule as the
+    decode step (2 psums + 1 gather per block, +1 embed psum +1 logits
+    gather per call — amortized over all T tokens, vs the GSPMD prefill's
+    ~8 collectives per block). The WKV associative scan is elementwise
+    over channels, so it runs fully sharded with zero communication.
+    length: [B] ragged valid-token counts (padding positions are no-ops)."""
+    from rwkv_tpu.models.rwkv4 import _carry_valid, _last_valid
+    from rwkv_tpu.ops.wkv import wkv_parallel
+
+    ax = "model"
+    Vl = params.emb.shape[0]
+    i = jax.lax.axis_index(ax)
+    lo = i * Vl
+    rel = jnp.clip(tokens - lo, 0, Vl - 1)
+    rows = params.emb[rel]                               # [T, B, E]
+    mine = ((tokens >= lo) & (tokens < lo + Vl))[..., None]
+    x = jax.lax.psum(jnp.where(mine, rows, 0.0), ax)
+    x = layer_norm(x.astype(jnp.float32), params.ln0.weight, params.ln0.bias)
+
+    T = x.shape[0]
+    mask = jnp.arange(T)[:, None] < length[None, :]      # [T, B]
+    decay_loc = _local_slice(params.att.decay, n_model, ax)
+    bonus_loc = _local_slice(params.att.bonus, n_model, ax)
+
+    def mm(a, lin):
+        return qmatmul(a, lin, compute_dtype=compute_dtype)
+
+    def block(x, layer):
+        (ln1, ln2, att, ffn, w_loc, u_loc), (xy, aa, bb, pp, dd) = layer
+        xx = layer_norm(x, ln1.weight, ln1.bias)
+        prev = jnp.concatenate([xy[None], xx[:-1]], axis=0)
+        k = mm(att.mix_k * xx + (1 - att.mix_k) * prev, att.key)
+        v = mm(att.mix_v * xx + (1 - att.mix_v) * prev, att.value)
+        r = mm(att.mix_r * xx + (1 - att.mix_r) * prev, att.receptance)
+        y, chan = wkv_parallel(k, v, WKVChannelState(aa, bb, pp),
+                               w_loc, u_loc, mask)
+        rwkv = jax.nn.sigmoid(r) * y
+        x = x + jax.lax.psum(mm(rwkv, att.output), ax)       # psum 1
+        new_xy = _carry_valid(_last_valid(xx, length), xy, length)
+
+        xx2 = layer_norm(x, ln2.weight, ln2.bias)
+        prev2 = jnp.concatenate([dd[None], xx2[:-1]], axis=0)
+        fk = ffn.mix_k * xx2 + (1 - ffn.mix_k) * prev2
+        fr = ffn.mix_r * xx2 + (1 - ffn.mix_r) * prev2
+        gate_loc = jax.nn.sigmoid(mm(fr, ffn.receptance))
+        h = jnp.square(jax.nn.relu(mm(fk, ffn.key)))
+        vfull = jax.lax.psum(mm(h, ffn.value), ax)           # psum 2
+        gate = _all_gather_inv(gate_loc, ax, axis=-1, tiled=True)
+        x = x + gate * vfull
+        new_dd = _carry_valid(_last_valid(xx2, length), dd, length)
+        return x, WKVState(new_xy, chan.aa, chan.bb, chan.pp, new_dd)
+
+    per_layer = ((params.ln1, params.ln2, params.att, params.ffn,
+                  decay_loc, bonus_loc), tuple(state))
+    x, new_state = jax.lax.scan(block, x, per_layer)
+
+    h = layer_norm(_last_valid(x, length),
+                   params.ln_out.weight, params.ln_out.bias)
+    logits_loc = _qdot_col(h, params.head)
+    if params.logit_bias is not None:
+        logits_loc = logits_loc + params.logit_bias
+    logits = _all_gather_inv(logits_loc, ax, axis=-1, tiled=True)
+    return logits, WKVState(*new_state)
+
+
+def make_tp_prefill(mesh: Mesh, params: RWKVParams, *,
+                    compute_dtype=jnp.float32, jit: bool = True):
+    """(params, tokens [T, B], state, length [B]) -> (logits [B, Vp],
+    state) batched ragged prefill under shard_map with the minimal
+    collective schedule. Same param/state layouts as make_tp_step, so an
+    engine mixes TP prefill and TP decode on one resident state pool."""
+    tp = mesh.shape["model"]
+    if not isinstance(params.att.key, QuantLinear):
+        raise TypeError("tp prefill requires quantized params")
+    V = params.emb.shape[0]
+    if V % tp:
+        raise ValueError(f"padded vocab {V} not divisible by model={tp}")
+    pspecs = param_pspecs(params, n_model=tp)
+    sspecs = state_pspecs(batched=True)
+    fn = functools.partial(_tp_seq_local, n_model=tp,
+                           compute_dtype=compute_dtype)
+    sm = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(pspecs, P(None, "data"), sspecs, P("data")),
+        out_specs=(P("data", None), sspecs),
+        check_vma=_CHECK_VMA,
+    )
+    return jax.jit(sm) if jit else sm
+
+
+def make_engine_prefill(mesh: Mesh, params: RWKVParams, *,
+                        compute_dtype=jnp.float32):
+    """forward_seq-shape-compatible adapter over make_tp_prefill for the
+    engine's prefill jits: tokens [T] or [T, B]; state leaves [L, E] or
+    [L, B, E]; scalar or [B] length; B padded to the data axis."""
+    sm = make_tp_prefill(mesh, params, compute_dtype=compute_dtype,
+                         jit=False)
+    nd = mesh.shape["data"]
+
+    def prefill(params, tokens, state, length):
+        unb = tokens.ndim == 1
+        if unb:
+            tokens = tokens[:, None]
+            state = jax.tree.map(lambda s: s[:, None], state)
+        B = tokens.shape[1]
+        length = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (B,))
+        Bp = -(-B // nd) * nd
+        if Bp != B:
+            tokens = jnp.pad(tokens, ((0, 0), (0, Bp - B)))
+            state = jax.tree.map(
+                lambda s: jnp.pad(s, ((0, 0), (0, Bp - B), (0, 0))), state)
+            length = jnp.pad(length, (0, Bp - B))
+        logits, st = sm(params, tokens, state, length)
+        if Bp != B:
+            logits = logits[:B]
+            st = jax.tree.map(lambda s: s[:, :B], st)
+        if unb:
+            logits = logits[0]
+            st = jax.tree.map(lambda s: s[:, 0], st)
+        return logits, st
+
+    return prefill
+
+
 def make_engine_step(mesh: Mesh, params: RWKVParams, **kw):
     """A tp_step with models.rwkv4.forward_step-compatible shapes, for the
     engine's decode jits: token scalar or [B], state leaves [L, E] or

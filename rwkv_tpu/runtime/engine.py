@@ -82,6 +82,7 @@ class RWKV:
         # path, f32 accumulation; decode is unaffected (HBM-bound).
         self.prefill_dtype = prefill_dtype
         self._step_fn = forward_step
+        self._prefill_impl = None  # None -> forward_seq; sharded: tp prefill
         self._make_jits()
 
         if model_path:
@@ -158,8 +159,10 @@ class RWKV:
 
         self._jit_step = jax.jit(step)
         self._jit_decode_chunk = jax.jit(decode_k, static_argnames=("k",))
-        self._jit_prefill = jax.jit(partial(
-            forward_seq, parallel=True, compute_dtype=self.prefill_dtype))
+        self._jit_prefill = jax.jit(
+            self._prefill_impl if self._prefill_impl is not None
+            else partial(forward_seq, parallel=True,
+                         compute_dtype=self.prefill_dtype))
         self._jit_decode = jax.jit(decode)
         self._jit_sample = jax.jit(self._sample)
 
@@ -182,6 +185,7 @@ class RWKV:
         from rwkv_tpu.ops.quant import QuantLinear
 
         cfg = params.config
+        self._prefill_impl = None
         if use_fused is None:
             use_fused = (
                 jax.default_backend() not in ("cpu",)
@@ -249,6 +253,12 @@ class RWKV:
 
             params = _commit(params, mesh)
             self._step_fn = make_engine_step(mesh, params, body=self._tp_body)
+            # sharded prefill: same minimal collective schedule + layouts
+            # as the decode step (vs GSPMD's ~8 collectives per block)
+            from rwkv_tpu.parallel.tp_step import make_engine_prefill
+
+            self._prefill_impl = make_engine_prefill(
+                mesh, params, compute_dtype=self.prefill_dtype)
         else:
             self._step_fn = forward_step
         self._make_jits()

@@ -206,3 +206,83 @@ def test_engine_step_adapter(setup_pallas):
         l_tp, s_tp = jax.jit(step)(p_sh, tok, state)
     np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
                                rtol=3e-4, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# TP prefill (batched ragged, parallel WKV scan, minimal collectives)
+# ---------------------------------------------------------------------------
+
+
+def test_tp_prefill_matches_unsharded(setup):
+    from rwkv_tpu.models.rwkv4 import forward_seq
+    from rwkv_tpu.parallel.tp_step import make_tp_prefill
+
+    mesh, cfg, params = setup
+    T, B = 12, 2
+    toks = jnp.asarray(
+        np.arange(T * B).reshape(T, B) % cfg.vocab_size, jnp.int32)
+    lens = jnp.asarray([T, T - 3], jnp.int32)   # ragged
+    state = init_state(cfg, (B,))
+    l_ref, s_ref = forward_seq(params, toks, state, parallel=True,
+                               length=lens)
+
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    pre = make_tp_prefill(mesh, params)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = pre(p_sh, toks, st_sh, lens)
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=5e-4, atol=5e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_tp_prefill_collective_count(setup):
+    """Prefill keeps the decode schedule: exactly 2 psums + 1 gather per
+    block, +1 embed psum +1 logits gather — amortized over all T tokens
+    (the GSPMD prefill compiles ~8 collectives per block)."""
+    from rwkv_tpu.parallel.tp_step import make_tp_prefill
+
+    mesh, cfg, params = setup
+    T, B = 8, 2
+    toks = jnp.zeros((T, B), jnp.int32)
+    lens = jnp.asarray([T, T], jnp.int32)
+    state = init_state(cfg, (B,))
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    pre = make_tp_prefill(mesh, params)
+    with jax.sharding.set_mesh(mesh):
+        hlo = pre.lower(p_sh, toks, st_sh, lens).compile().as_text()
+    counts = {}
+    pat = (r"(all-reduce|all-gather|all-to-all|collective-permute|"
+           r"reduce-scatter)(?:-start)?\(")
+    for m in re.finditer(pat, hlo):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    assert counts.get("all-reduce", 0) == 3, counts
+    assert counts.get("all-gather", 0) == 2, counts
+    assert counts.get("all-to-all", 0) == 0, counts
+    assert counts.get("reduce-scatter", 0) == 0, counts
+
+
+def test_engine_prefill_adapter(setup):
+    """make_engine_prefill: unbatched [T] tokens + scalar length through
+    the padded shard_map call match forward_seq."""
+    from rwkv_tpu.models.rwkv4 import forward_seq
+    from rwkv_tpu.parallel.tp_step import make_engine_prefill
+
+    mesh, cfg, params = setup
+    toks = jnp.asarray([3, 1, 4, 1, 5, 9, 2, 6], jnp.int32)
+    state = init_state(cfg)
+    l_ref, s_ref = forward_seq(params, toks, state, parallel=True,
+                               length=jnp.asarray(6, jnp.int32))
+    p_sh = shard_params(params, mesh)
+    pre = make_engine_prefill(mesh, params)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = jax.jit(pre)(p_sh, toks, state,
+                                  jnp.asarray(6, jnp.int32))
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=5e-4, atol=5e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
