@@ -46,6 +46,9 @@ def build_engine(args) -> RWKV:
 
         sharding = ShardingContext(make_mesh(model=args.shards, data=1))
         print(f"[tp] sharding over {args.shards} devices", file=sys.stderr)
+    elif getattr(args, "tp_body", None):
+        print("warning: --tp-body has no effect without --shards > 1",
+              file=sys.stderr)
     eng = RWKV(max_streams=args.streams, prefill_dtype=pdt,
                sharding=sharding, tp_body=getattr(args, "tp_body", None))
     if args.mock:
@@ -67,7 +70,7 @@ def build_engine(args) -> RWKV:
 
     try:
         eng.load_tokenizer(args.vocab)  # None -> bundled 50,277-entry vocab
-    except (ValueError, FileNotFoundError) as e:
+    except (ValueError, OSError) as e:  # OSError: missing/unreadable files
         print(f"error: no tokenizer vocab ({e}); pass --vocab DIR or set "
               f"$RWKV_TPU_VOCAB", file=sys.stderr)
         sys.exit(2)

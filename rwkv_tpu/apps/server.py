@@ -56,9 +56,17 @@ class PoolRunner:
         t.start()
 
     def _fail_all(self, msg: str):
-        """A step blew up: fail every waiting request (never leave a client
-        blocked forever) and drop the pool's in-flight bookkeeping."""
+        """A step blew up: deliver any generations that actually COMPLETED
+        during the failed step (admission backlog), fail every other
+        waiting request (never leave a client blocked forever), and drop
+        the pool's in-flight bookkeeping."""
         with self._lock:
+            done = self.pool.take_finished_backlog()
+            for req in done:
+                self._done[req.rid] = req.text
+                ev = self._events.pop(req.rid, None)
+                if ev:
+                    ev.set()
             events, self._events = self._events, {}
             for rid in events:
                 self._errors[rid] = msg

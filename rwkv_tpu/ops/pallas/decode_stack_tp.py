@@ -502,6 +502,19 @@ def decode_stack_tp(
             raise ValueError(f"params pretiled for tile={pt}, got {tile}")
         El = att.key.w.shape[1] * pt
         Fl = ffn.key.w.shape[1] * pt
+        # a baked-in tile chosen by the SINGLE-chip picker can blow the
+        # TP kernel's VMEM (the exchange scratch is extra); fail loudly
+        # here, not as a Mosaic OOM on hardware
+        E_chk = params.emb.shape[1]
+        budget = 15 * 1024 * 1024
+        need = (14 * E_chk * tile + 2 * E_chk * 128
+                + _fixed_scratch_bytes(E_chk, El, tp, 8))
+        if need > budget:
+            raise ValueError(
+                f"pretiled tile={tile} needs ~{need} bytes of VMEM with the "
+                f"TP exchange scratch (> {budget}); re-pretile with "
+                f"pick_tp_fused_tile(E={E_chk}, e_loc={El}, tp={tp})"
+            )
     else:
         El = att.key.w.shape[-1]
         Fl = ffn.key.w.shape[-1]

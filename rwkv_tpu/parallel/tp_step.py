@@ -86,13 +86,14 @@ def _local_slice(vec_full, n_shards, axis_name):
 
 
 def _embed_psum(params, token, ax):
-    """Vocab-sharded embedding gather -> one [B, E] psum + ln0."""
+    """Vocab-sharded embedding gather -> one psum + ln0. token: [B] for a
+    decode step or [T, B] for prefill (any leading shape works)."""
     Vl = params.emb.shape[0]  # vocab-sharded rows
     i = jax.lax.axis_index(ax)
     lo = i * Vl
     rel = jnp.clip(token - lo, 0, Vl - 1)
-    rows = params.emb[rel]                                  # [B, E]
-    mine = ((token >= lo) & (token < lo + Vl))[:, None]
+    rows = params.emb[rel]                                  # [..., E]
+    mine = ((token >= lo) & (token < lo + Vl))[..., None]
     x = jax.lax.psum(jnp.where(mine, rows, 0.0), ax)
     return layer_norm(x.astype(jnp.float32), params.ln0.weight,
                       params.ln0.bias)
@@ -311,7 +312,8 @@ def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
     elif body == "xla":
         fn = functools.partial(_tp_step_local, n_model=tp)
     else:
-        raise ValueError(f"unknown body {body!r} (want 'pallas' or 'xla')")
+        raise ValueError(
+            f"unknown body {body!r} (want 'xla', 'pallas' or 'fused')")
     pspecs = param_pspecs(params, n_model=tp)
     sspecs = state_pspecs(batched=True)
     # check_vma stays ON for the XLA body. The Pallas body must disable it:
@@ -343,14 +345,7 @@ def _tp_seq_local(params, tokens, state, length, *, n_model: int,
     from rwkv_tpu.ops.wkv import wkv_parallel
 
     ax = "model"
-    Vl = params.emb.shape[0]
-    i = jax.lax.axis_index(ax)
-    lo = i * Vl
-    rel = jnp.clip(tokens - lo, 0, Vl - 1)
-    rows = params.emb[rel]                               # [T, B, E]
-    mine = ((tokens >= lo) & (tokens < lo + Vl))[..., None]
-    x = jax.lax.psum(jnp.where(mine, rows, 0.0), ax)
-    x = layer_norm(x.astype(jnp.float32), params.ln0.weight, params.ln0.bias)
+    x = _embed_psum(params, tokens, ax)                  # [T, B, E]
 
     T = x.shape[0]
     mask = jnp.arange(T)[:, None] < length[None, :]      # [T, B]

@@ -111,6 +111,10 @@ class InferencePool:
         self._by_slot: dict[int, Request] = {}
         self._queue: list[Request] = []
         self._next_rid = 0
+        # requests that COMPLETED during an admission batch that later
+        # threw: their results survive the exception and are delivered by
+        # the next step() (or fetched directly via take_finished_backlog)
+        self._finished_backlog: list[Request] = []
 
         self._jit_step = jax.jit(self._batched_step)
         self._jit_step_k = jax.jit(self._batched_step_k,
@@ -225,19 +229,27 @@ class InferencePool:
             # A failed admission must not leak capacity — but some of the
             # batch may already be FINISHED (first-token completion calls
             # _finish, which freed that slot) or fully registered, so roll
-            # back per request: done requests keep their completed state
-            # (their slot is already back in _free), everything else is
-            # de-registered, its slot freed exactly once, and requeued in
-            # order for the caller to retry or fail.
+            # back per request: done requests keep their completed result
+            # (stashed in _finished_backlog so the exception cannot lose
+            # it); everything else is de-registered, its slot freed
+            # exactly once, and requeued with RESET runtime state (a retry
+            # re-prefills from scratch; a piece already streamed via
+            # on_text may repeat — the cost of not losing the request).
             requeue = []
             for req, slot in zip(reqs, slots):
                 if req.done:
+                    self._finished_backlog.append(req)
                     continue
                 if self._by_slot.get(slot) is req:
                     del self._by_slot[slot]
                 self._active[slot] = False
                 if slot not in self._free:
                     self._free.append(slot)
+                req.slot = -1
+                req.produced = 0
+                req.decoder = None
+                req.pieces = []
+                req.scanner = StopScanner(req.stop) if req.stop else None
                 requeue.append(req)
             self._queue[:0] = requeue
             raise
@@ -336,10 +348,17 @@ class InferencePool:
         self._free.append(slot)
         return req
 
+    def take_finished_backlog(self) -> list[Request]:
+        """Completed requests stranded by an admission exception (see
+        _admit). Servers call this in their error path so a client whose
+        generation actually finished gets its text, not the error."""
+        out, self._finished_backlog = self._finished_backlog, []
+        return out
+
     def step(self) -> list[Request]:
         """Admit queued requests, advance the batch step_chunk tokens in
         one device dispatch; returns requests that completed."""
-        finished_admit = self._admit()
+        finished_admit = self.take_finished_backlog() + self._admit()
         if not self._by_slot:
             return finished_admit
 

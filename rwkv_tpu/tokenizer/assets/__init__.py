@@ -63,6 +63,10 @@ def ensure_files(cache_dir: str | None = None) -> str:
     fd_v, tmp_v = tempfile.mkstemp(dir=cache_dir, suffix=".vocab.tmp")
     fd_m, tmp_m = tempfile.mkstemp(dir=cache_dir, suffix=".merges.tmp")
     try:
+        # mkstemp creates 0600; the cache may be shared — restore the
+        # conventional umask-style readability before install
+        os.fchmod(fd_v, 0o644)
+        os.fchmod(fd_m, 0o644)
         with os.fdopen(fd_v, "w", encoding="utf-8") as f:
             json.dump(vocab, f, ensure_ascii=False, indent=4)
         with os.fdopen(fd_m, "w", encoding="utf-8") as f:
