@@ -280,9 +280,14 @@ def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
     )
     if body is None:
         if pallas_ok:
-            # the half-kernel body only takes the plain 3-D layout; the
-            # fused kernel handles both
-            body = "pallas" if ndimw == 3 else "fused"
+            # On a real TPU backend the in-kernel-collective whole-stack
+            # kernel is the measured-best body (0.95-0.995x the
+            # single-chip kernel at tp=1, BENCH_NOTES); on CPU backends
+            # its RDMA simulation (InterpretParams) is far too slow for
+            # routine runs, so the half-kernel body serves there.
+            # Pretiled 4-D params only run through the fused kernel.
+            on_tpu = jax.default_backend() != "cpu"
+            body = "fused" if (on_tpu or ndimw == 4) else "pallas"
         else:
             body = "xla"
     if body == "pallas" and ndimw == 4:

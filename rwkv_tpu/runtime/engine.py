@@ -70,9 +70,10 @@ class RWKV:
         self.max_streams = max_streams
         self.prefill_buckets = tuple(sorted(prefill_buckets))
         self._sharding = sharding
-        # TP step body under sharding: None = auto ('pallas' half-kernels
-        # when E/tp is lane-aligned, else 'xla'); 'fused' opts into the
-        # in-kernel-RDMA whole-stack kernel (parallel/tp_step.py)
+        # TP step body under sharding: None = auto (on TPU: the 'fused'
+        # in-kernel-RDMA whole-stack kernel when E/tp is lane-aligned; on
+        # CPU backends: 'pallas' half-kernels; else 'xla') — see
+        # parallel/tp_step.py
         self._tp_body = tp_body
         self._state: Optional[WKVState] = None  # leaves [L, B, E]
         self._last_logits: dict[int, jax.Array] = {}  # stream -> logits [V]
