@@ -263,6 +263,7 @@ def main(argv=None):
 
         pool = InferencePool(eng.params, eng.tokenizer,
                              max_streams=args.pool, step_fn=eng._step_fn,
+                             prefill_fn=eng._prefill_impl,
                              prefill_dtype=eng.prefill_dtype,
                              step_chunk=args.pool_chunk)
         runner = PoolRunner(pool)

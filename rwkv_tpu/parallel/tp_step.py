@@ -321,13 +321,21 @@ def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
             f"unknown body {body!r} (want 'xla', 'pallas' or 'fused')")
     pspecs = param_pspecs(params, n_model=tp)
     sspecs = state_pspecs(batched=True)
-    # check_vma stays ON for the XLA body. The Pallas body must disable it:
-    # pallas_call's interpret-mode lowering (the virtual-mesh test path)
-    # re-evaluates block fetches with mixed-vma operands and fails with
-    # "Primitive dynamic_slice requires varying manual axes to match ...
-    # as a temporary workaround pass check_vma=False" (jax 0.9). The typed
-    # program is identical either way; parity + collective-count tests
-    # cover both bodies.
+    # check_vma stays ON for the XLA body. The Pallas bodies must disable
+    # it: pallas_call's interpret-mode lowering (the virtual-mesh test
+    # path) re-evaluates block fetches with mixed-vma operands and fails
+    # with "Primitive dynamic_slice requires varying manual axes to match,
+    # but got [frozenset({'model'}), frozenset(), ...]. Please open an
+    # issue at github.com/jax-ml/jax/issues and as a temporary workaround
+    # pass the check_vma=False argument to `jax.shard_map`".
+    # RETESTED on jax 0.9.0 (2026-08-17, round 3): still fails even with
+    # full vma= annotations on every pallas output — the failure is inside
+    # the interpret lowering's own block-index slicing, not our
+    # annotations; jax's error text itself names check_vma=False as the
+    # sanctioned workaround (upstream tracker unreachable from this env:
+    # zero egress). Re-run the probe on each jax upgrade:
+    # the typed program is identical either way; parity + collective-count
+    # tests cover both Pallas bodies at tp=2/tp=4 and data=2.
     sm = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(pspecs, P("data"), sspecs),

@@ -70,11 +70,19 @@ class InferencePool:
         step_fn: Optional[Callable] = None,
         prefill_dtype=jnp.float32,
         step_chunk: int = 1,
+        prefill_fn: Optional[Callable] = None,
     ):
         """step_fn: the per-token forward (params, tokens, state) ->
         (logits, state); defaults to the XLA forward_step. Pass
         ops.pallas.decode_stack.forward_step_fused (with signedized params)
         to run the batch on the fused kernel on a real TPU.
+
+        prefill_fn: batched prompt ingest (params, tokens [T, W], state,
+        length [W]) -> (logits [W, V], state); defaults to the plain
+        forward_seq parallel scan. For a SHARDED engine pass its
+        engine._prefill_impl (parallel.tp_step.make_engine_prefill) so
+        admission prefill runs the minimal 3L+2 collective schedule instead
+        of GSPMD's ~8 collectives per block.
 
         prefill_dtype: jnp.bfloat16 doubles prompt-ingest throughput
         (compute-bound path; see BENCH_NOTES.md).
@@ -91,7 +99,15 @@ class InferencePool:
         self.B = max_streams
         self.prefill_bucket = prefill_bucket
         self._step_impl = step_fn or forward_step
+        self._prefill_fn = prefill_fn
         self.prefill_dtype = prefill_dtype
+        # admission-burst width buckets: prefill is MXU-compute-bound, so
+        # its FLOPs scale with the padded lane count — admitting 1 prompt
+        # into an 8-slot pool at fixed width B would burn ~8x the needed
+        # FLOPs (real money at 14B). Powers of two up to B: <= log2(B)+1
+        # compiled prefill programs, cost ~2x the live lanes worst-case.
+        self._widths = sorted({1 << i for i in range((self.B).bit_length())
+                               if 1 << i <= self.B} | {self.B})
 
         self.step_chunk = max(1, int(step_chunk))
         self._state = init_state(self.cfg, (self.B,))
@@ -163,6 +179,9 @@ class InferencePool:
         """Prompt ingest (parallel WKV scan), bucketed. tokens [T] with a
         scalar length, or [T, Bn] with [Bn] ragged per-stream lengths —
         several queued prompts share one weight sweep."""
+        if self._prefill_fn is not None:
+            # sharded TP prefill (make_engine_prefill signature)
+            return self._prefill_fn(params, tokens, slot_state, length)
         logits, new_state = forward_seq(
             params, tokens, slot_state, parallel=True, length=length,
             compute_dtype=self.prefill_dtype,
@@ -265,10 +284,10 @@ class InferencePool:
         ids = [req.prompt_ids for req in reqs]
         K = self.prefill_bucket
         maxlen = max(len(i) for i in ids)
-        # fixed batch width: zero-length lanes are exact no-ops, and a
-        # constant [K, B] shape means ONE compiled prefill program instead
-        # of one per burst width
-        W = self.B
+        # bucketed batch width: zero-length lanes are exact no-ops, so pad
+        # the burst to the next power-of-two bucket (see _widths) — a
+        # single admission pays ~1 lane of prefill FLOPs, not B
+        W = next(w for w in self._widths if w >= n)
         batch_state = init_state(self.cfg, (W,))
         chunk_lg: list = [None] * n   # last device logits per stream
         for c0 in range(0, maxlen, K):

@@ -25,6 +25,31 @@ from rwkv_tpu.parallel.sharding import shard_params, shard_state
 from rwkv_tpu.parallel.tp_step import make_tp_step
 
 
+def _assert_one_collective(step, *args):
+    """The fused body must compile to exactly ONE XLA collective per token
+    (the logits all-gather) — every other exchange is in-kernel RDMA."""
+    import re
+
+    hlo = step.lower(*args).compile().as_text()
+    counts = {}
+    pat = (r"(all-reduce|all-gather|all-to-all|collective-permute|"
+           r"reduce-scatter)(?:-start)?\(")
+    for m in re.finditer(pat, hlo):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    assert counts.get("all-reduce", 0) == 0, counts
+    assert counts.get("all-gather", 0) == 1, counts   # logits gather
+    assert counts.get("all-to-all", 0) == 0, counts
+    assert counts.get("reduce-scatter", 0) == 0, counts
+
+
+def _assert_no_races():
+    try:  # internal flag; absence just skips the extra assertion
+        from jax._src.pallas.mosaic.interpret import interpret_pallas_call
+        assert not getattr(interpret_pallas_call.races, "races_found", False)
+    except ImportError:
+        pass
+
+
 @pytest.fixture(scope="module")
 def model():
     cfg = RWKVConfig.tiny_test(n_layer=2, n_embd=256, vocab_size=300)
@@ -99,11 +124,71 @@ def test_tp2_shard_map_rdma_parity(model):
     for a, b in zip(s_tp, s_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-4)
-    try:  # internal flag; absence just skips the extra assertion
-        from jax._src.pallas.mosaic.interpret import interpret_pallas_call
-        assert not getattr(interpret_pallas_call.races, "races_found", False)
-    except ImportError:
-        pass
+    _assert_no_races()
+
+
+def test_tp4_multi_peer_rdma_parity():
+    """tp=4: the >=3-peer reduce-scatter/all-gather loops and semaphore
+    waits (decode_stack_tp._red_start/_red_finish, off in 1..3) — exactly
+    the modular arithmetic that can work at 2 peers and misroute or
+    deadlock at 4. E=512 so E/tp=128 (lane-aligned); race detector on.
+    Runs in ~6 s (interpret-mode RDMA simulation; keep shapes minimal)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = RWKVConfig.tiny_test(n_layer=1, n_embd=512, vocab_size=300)
+    params = signedize_params(pad_vocab(
+        quantize_params(init_params(jax.random.PRNGKey(0), cfg)),
+        multiple=512,
+    ))
+    mesh = make_mesh(model=4, data=1)
+    B = 2
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray([3, 150], jnp.int32)
+    l_ref, s_ref = forward_step(params, tok, state)
+
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, params, body="fused",
+                        interpret=pltpu.InterpretParams(detect_races=True))
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = step(p_sh, tok, st_sh)
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+    _assert_no_races()
+    _assert_one_collective(step, p_sh, tok, st_sh)
+
+
+def test_tp2_data2_peer_base_offset(model):
+    """tp=2 x data=2: every RDMA's device_id must stay inside the sender's
+    OWN data row — `base = axis_index('data') * tp`
+    (decode_stack_tp.py:128-135) had never executed before this test.
+    Distinct token streams per data shard make any cross-row misroute a
+    parity failure, not a silent aliasing."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, params = model
+    mesh = make_mesh(model=2, data=2)
+    B = 4                      # 2 streams per data shard
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray([3, 150, 7, 299], jnp.int32)
+    l_ref, s_ref = forward_step(params, tok, state)
+
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, params, body="fused",
+                        interpret=pltpu.InterpretParams(detect_races=True))
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = step(p_sh, tok, st_sh)
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+    _assert_no_races()
+    _assert_one_collective(step, p_sh, tok, st_sh)
 
 
 def test_fused_body_xla_collective_count(model):

@@ -101,8 +101,14 @@ def test_sharded_generate_deterministic(binfile):
 
 def test_pool_over_sharded_engine():
     """Continuous batching composes with the sharded engine: the pool
-    drives the engine's tp_step (Pallas body) for the whole batch."""
-    import os
+    drives the engine's tp_step (Pallas body) for the whole batch, and
+    admission prefill runs the engine's TP prefill — the compiled prefill
+    program carries the minimal 3L+2 collective schedule (2 psums + 1
+    gather per block, +1 embed psum +1 logits gather), not GSPMD's ~8
+    collectives per block."""
+    import re
+
+    import jax.numpy as jnp
 
     from rwkv_tpu.runtime.pool import InferencePool
     from rwkv_tpu.tokenizer.bpe import BPETokenizer
@@ -115,9 +121,30 @@ def test_pool_over_sharded_engine():
         eng.load_params(params)
         tok = BPETokenizer.load()  # bundled vocab
         pool = InferencePool(eng.params, tok, max_streams=2,
-                             step_fn=eng._step_fn)
+                             step_fn=eng._step_fn,
+                             prefill_fn=eng._prefill_impl)
         a = pool.submit("Hello", max_tokens=4, seed=1)
         b = pool.submit("World", max_tokens=4, seed=2)
         out = pool.run()
+
+        # pin the admission-prefill collective schedule (scan body counts
+        # once in the HLO: 2 psums + 1 gather; + embed psum + logits gather)
+        from rwkv_tpu.models.rwkv4 import init_state
+
+        W = 2
+        toks = jnp.zeros((pool.prefill_bucket, W), jnp.int32)
+        lens = jnp.ones((W,), jnp.int32)
+        st = init_state(eng.config, (W,))
+        hlo = pool._jit_prefill.lower(
+            eng.params, toks, lens, st).compile().as_text()
+    counts = {}
+    pat = (r"(all-reduce|all-gather|all-to-all|collective-permute|"
+           r"reduce-scatter)(?:-start)?\(")
+    for m in re.finditer(pat, hlo):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    assert counts.get("all-reduce", 0) == 3, counts
+    assert counts.get("all-gather", 0) == 2, counts
+    assert counts.get("reduce-scatter", 0) == 0, counts
+
     assert sorted(out) == sorted([a, b])
     assert all(isinstance(v, str) for v in out.values())

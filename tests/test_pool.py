@@ -212,3 +212,31 @@ def test_pool_max_tokens_one(pool_setup):
     out = pool.run()
     assert rid in out
     assert len(tok.encode(out[rid])) <= 1
+
+
+def test_admission_width_buckets(pool_setup):
+    """Prefill is compute-bound: admitting n prompts must pad the burst to
+    the next power-of-two bucket (~n lanes of FLOPs), never always to B.
+    (Round-2 verdict: fixed W=B burned ~8x the needed prefill FLOPs for a
+    single admission into an 8-slot pool.)"""
+    params, tok = pool_setup
+    pool = InferencePool(params, tok, max_streams=8, prefill_bucket=8)
+    assert pool._widths == [1, 2, 4, 8]
+
+    widths = []
+    real = pool._jit_prefill
+
+    def spy(p, tokens, length, state):
+        widths.append(tokens.shape[1])
+        return real(p, tokens, length, state)
+
+    pool._jit_prefill = spy
+    pool.submit("only one", max_tokens=1, seed=0)
+    pool.step()
+    assert set(widths) == {1}, widths
+
+    widths.clear()
+    for i in range(3):
+        pool.submit(f"burst {i}", max_tokens=1, seed=i)
+    pool.step()
+    assert set(widths) == {4}, widths

@@ -131,6 +131,48 @@ def _random_utf8_cases(n: int = 40, seed: int = 7) -> list[str]:
     return out
 
 
+def _block_sweep_cases() -> list[str]:
+    """Systematic \\p{L}/\\p{N} sweep: one probe string per 256-codepoint
+    window (block granularity) that contains an assigned letter or digit,
+    over the full Unicode range. Each probe exercises the pre-tokenizer's
+    class boundaries at that window: a letter run, a mixed ASCII+letter
+    word (run continuation), a digit run and an ASCII+digit run — so the
+    native tokenizer's hand-rolled cp_is_letter/cp_is_digit tables
+    (native/tokenizer.cpp) are gated per block, not per 14 fuzz pools.
+
+    Skips codepoints HF's Rust Unicode tables may version-skew on is NOT
+    done — the canonical ids are the parity target; any divergence is a
+    bug in our class tables."""
+    import unicodedata
+
+    cases = []
+    for base in range(0x0, 0x110000, 0x100):
+        letters, digits = [], []
+        for cp in range(base, min(base + 0x100, 0x110000)):
+            if 0xD800 <= cp <= 0xDFFF:
+                continue
+            cat = unicodedata.category(chr(cp))
+            if cat.startswith("L") and len(letters) < 3:
+                letters.append(chr(cp))
+            elif cat.startswith("N") and len(digits) < 2:
+                digits.append(chr(cp))
+            if len(letters) == 3 and len(digits) == 2:
+                break
+        if not letters and not digits:
+            continue
+        parts = []
+        if letters:
+            parts.append("".join(letters))          # pure letter run
+            parts.append("ab" + letters[0])         # ASCII-letter continuation
+        if digits:
+            parts.append("".join(digits))           # pure digit run
+            parts.append("12" + digits[0])          # ASCII-digit continuation
+        if letters and digits:
+            parts.append(letters[0] + digits[0])    # class boundary L|N
+        cases.append(" ".join(parts))
+    return cases
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--source", default=None)
@@ -171,7 +213,7 @@ def main() -> None:
 
     canon = GPT2TokenizerFast(vocab_file=vpath, merges_file=mpath)
     cases = []
-    for text in CORPUS + _random_utf8_cases():
+    for text in CORPUS + _random_utf8_cases() + _block_sweep_cases():
         # split_special_tokens=True: encode magic strings like
         # "<|endoftext|>" as plain text — the reference tokenizer
         # (tokenizer.h) is pure regex+BPE with no special-token detection,
