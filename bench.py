@@ -154,12 +154,16 @@ def main():
             from rwkv_tpu.ops.pallas.decode_stack import pick_tile
 
             ptile = tile if tile else pick_tile(cfg.n_embd)
-        # NOTE: impl=tpfused deliberately does NOT pretile: measured at
-        # 430M, the 4-D contiguous-block layout made the TP kernel 20%
-        # SLOWER (1,713 vs 2,157 tok/s at identical tile=512) — the
-        # opposite of the single-chip kernel's +0.5-3%. Kernel support
-        # exists (tested); fabrication stays 3-D until that inversion is
-        # understood.
+        # NOTE: impl=tpfused does NOT pretile by default: round-2 measured
+        # the 4-D contiguous-block layout 20% SLOWER in the TP kernel at
+        # 430M/tile=512 (1,713 vs 2,157 tok/s) — though round-3's direct-
+        # call probe (tools/pretile_probe.py) could NOT reproduce it
+        # (4-D ~1% faster). RWKV_TPU_BENCH_PRETILE=1 forces the pretiled
+        # layout for tpfused to compare through the shard_map path.
+        if impl == "tpfused" and os.environ.get("RWKV_TPU_BENCH_PRETILE"):
+            from rwkv_tpu.ops.pallas.decode_stack import pick_tile
+
+            ptile = tile if tile else pick_tile(cfg.n_embd)
         params = random_quantized_params_device(cfg, seed=0, pretile=ptile)
 
     state = init_state(cfg, (batch,)) if batch > 1 else init_state(cfg)
