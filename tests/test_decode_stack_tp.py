@@ -271,3 +271,31 @@ def test_tp2_pretiled_parity(model):
     for a, b in zip(s_tp, s_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_tp2_large_batch_embed_fallback(model):
+    """B > 8 under TP: fuse_embed is capped at 8, so the step must fall
+    back to the XLA embed psum and feed the kernel a replicated [B, E]
+    x_in — the pool-sized sharded regime. This x_in-at-tp>1 path had
+    never executed (all other tp>1 tests ride the in-kernel gather)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, params = model
+    mesh = make_mesh(model=2, data=1)
+    B = 10
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray(np.arange(B) * 29 % 300, jnp.int32)
+    l_ref, s_ref = forward_step(params, tok, state)
+
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, params, body="fused",
+                        interpret=pltpu.InterpretParams(detect_races=True))
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = step(p_sh, tok, st_sh)
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+    _assert_no_races()
