@@ -154,16 +154,22 @@ def main():
             from rwkv_tpu.ops.pallas.decode_stack import pick_tile
 
             ptile = tile if tile else pick_tile(cfg.n_embd)
-        # NOTE: impl=tpfused does NOT pretile by default: round-2 measured
-        # the 4-D contiguous-block layout 20% SLOWER in the TP kernel at
-        # 430M/tile=512 (1,713 vs 2,157 tok/s) — though round-3's direct-
-        # call probe (tools/pretile_probe.py) could NOT reproduce it
-        # (4-D ~1% faster). RWKV_TPU_BENCH_PRETILE=1 forces the pretiled
-        # layout for tpfused to compare through the shard_map path.
-        if impl == "tpfused" and os.environ.get("RWKV_TPU_BENCH_PRETILE"):
-            from rwkv_tpu.ops.pallas.decode_stack import pick_tile
+        # impl=tpfused layout policy (round 3, BENCH_NOTES): at matched
+        # tile the layouts are within noise at B<=8; at batch the 4-D
+        # contiguous-block layout is +4% (B=16) and the only VMEM-safe
+        # tile=512 at B=32 (+27% over the best 3-D option) — so pretile
+        # by default at batch > 8, matching the engine's sharded policy.
+        # RWKV_TPU_BENCH_PRETILE=0/1 overrides either way.
+        if impl == "tpfused":
+            env = os.environ.get("RWKV_TPU_BENCH_PRETILE")
+            want = (env not in ("", "0")) if env is not None else batch > 8
+            if want:
+                from rwkv_tpu.ops.pallas.decode_stack_tp import (
+                    pick_tp_fused_tile)
 
-            ptile = tile if tile else pick_tile(cfg.n_embd)
+                bp = max(8, -(-batch // 8) * 8)
+                ptile = tile if tile else pick_tp_fused_tile(
+                    cfg.n_embd, cfg.n_embd, 1, bp=bp)
         params = random_quantized_params_device(cfg, seed=0, pretile=ptile)
 
     state = init_state(cfg, (batch,)) if batch > 1 else init_state(cfg)

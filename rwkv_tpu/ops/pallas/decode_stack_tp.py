@@ -412,11 +412,17 @@ def pick_tp_fused_tile(n_embd: int, e_loc: int, tp: int, bp: int = 8,
     scratch above. (Measured: the 8·E·tile att-only estimate OOM'd real
     Mosaic at 430M/tp=1 — 18.4M requested of 16M.)"""
     fixed = _fixed_scratch_bytes(n_embd, e_loc, tp, bp)
-    # full-width local tile first (fewer grid steps measurably win at
-    # small E — same rationale as decode_stack.pick_tile's E-first probe)
-    for t in (e_loc, 512, 384, 256, 128):
+    # Full-width local tile first ONLY at small e_loc (measured: the
+    # 169M/E=768 full-width tile was the 0.71x -> 0.95x win, but at
+    # E=1024 full-width is 23% SLOWER than t=512 — 1,730 vs 2,254 tok/s
+    # at B=1, 22.9k vs 28.3k at B=16; fewer, larger grid steps starve
+    # the cross-step DMA overlap once the step already streams >=0.5MB).
+    if e_loc <= 768:
+        cands = (e_loc, 512, 384, 256, 128)
+    else:
+        cands = (512, 384, 256, 128, e_loc)
+    for t in cands:
         if (e_loc % t == 0 and t % 128 == 0
-                and (t == e_loc or t <= 512)
                 and 14 * n_embd * t + 2 * n_embd * 128 + fixed <= vmem_budget):
             return t
     raise ValueError(
@@ -503,23 +509,38 @@ def decode_stack_tp(
         El = att.key.w.shape[1] * pt
         Fl = ffn.key.w.shape[1] * pt
         # a baked-in tile chosen by the SINGLE-chip picker can blow the
-        # TP kernel's VMEM (the exchange scratch is extra); fail loudly
+        # TP kernel's VMEM (the exchange scratch is extra, and the f32
+        # activation scratch scales with the padded batch); fail loudly
         # here, not as a Mosaic OOM on hardware
         E_chk = params.emb.shape[1]
         budget = 15 * 1024 * 1024
+        bp_chk = max(8, -(-B // 8) * 8)
         need = (14 * E_chk * tile + 2 * E_chk * 128
-                + _fixed_scratch_bytes(E_chk, El, tp, 8))
+                + _fixed_scratch_bytes(E_chk, El, tp, bp_chk))
         if need > budget:
             raise ValueError(
                 f"pretiled tile={tile} needs ~{need} bytes of VMEM with the "
-                f"TP exchange scratch (> {budget}); re-pretile with "
-                f"pick_tp_fused_tile(E={E_chk}, e_loc={El}, tp={tp})"
+                f"TP exchange scratch at batch {B} (> {budget}); re-pretile "
+                f"with pick_tp_fused_tile(E={E_chk}, e_loc={El}, tp={tp}, "
+                f"bp={bp_chk})"
             )
     else:
         El = att.key.w.shape[-1]
         Fl = ffn.key.w.shape[-1]
         if tile is None:
-            tile = pick_tp_fused_tile(E, El, tp)
+            bp_pick = max(8, -(-B // 8) * 8)
+            if bp_pick > 16 and 14 * E * El <= 30 * 1024 * 1024:
+                # Large-batch 3-D exception (measured, 430M/Bp=32): the
+                # 14*E*t model MIS-ranks strided windows at batch —
+                # t=512 OOMs scoped VMEM by 224KB while the full-width
+                # window (nominally 2x bigger) compiles and runs (Mosaic
+                # does not double-buffer a window that spans the whole
+                # dim). Prefer full-width where it is measured-safe;
+                # batch-serving perf users should pretile instead
+                # (engine does: +~4% over this and VMEM-predictable).
+                tile = El
+            else:
+                tile = pick_tp_fused_tile(E, El, tp, bp=bp_pick)
     Vl = params.head.w.shape[-1]
     assert El % tile == 0 and Fl % tile == 0, (El, Fl, tile)
     n_att, n_ffn = El // tile, Fl // tile

@@ -160,11 +160,18 @@ def make_put(ctx: "ShardingContext | Mesh"):
     vocab_dim = {"embed": 0, "head": 1, "logit_bias": 0}
     n_model = mesh.shape["model"]
 
+    # pretiled (contiguous-block) column families arrive 4-D
+    # [L, O/t, E, t] from read_bin(pretile=...): shard the BLOCK dim —
+    # the same output-column partition as the 3-D column spec
+    pretiled_col = {"km", "vm", "rm", "ffn_k", "ffn_r"}
+
     def put(name: str, arr: np.ndarray) -> jax.Array:
         spec = by_name.get(name, P())
         vd = vocab_dim.get(name)
         if vd is not None and arr.shape[vd] % n_model:
             spec = P()  # unpadded vocab: fall back to replication
+        elif arr.ndim == 4 and name in pretiled_col:
+            spec = P(None, "model", None, None)
         return jax.device_put(arr, NamedSharding(mesh, spec))
 
     return put

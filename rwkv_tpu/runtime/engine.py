@@ -132,6 +132,32 @@ class RWKV:
             mesh = getattr(self._sharding, "mesh", self._sharding)
             put = make_put(self._sharding)
             pad_to = math.lcm(512, 128 * mesh.shape["model"])  # TP-divisible
+            # Host-side pretile for the fused TP kernel (round 3): the
+            # contiguous-block layout is neutral at B=1 but +28% at B=16
+            # through the TP kernel (BENCH_NOTES round-3). Same gates as
+            # the single-chip path (est<8GB for prefill's layout copy) +
+            # lane alignment per shard; the block dim shards evenly
+            # because the tile divides E/tp.
+            if (jax.default_backend() not in ("cpu",)
+                    and self._tp_body in (None, "fused")
+                    and self.max_streams > 8):
+                from rwkv_tpu.io.binfmt import read_header
+                from rwkv_tpu.ops.pallas.decode_stack_tp import (
+                    pick_tp_fused_tile)
+
+                hdr = read_header(path)
+                tp = mesh.shape["model"]
+                est = hdr.n_layer * 13 * hdr.n_embd ** 2 + 50688 * hdr.n_embd
+                if (hdr.n_embd % tp == 0 and (hdr.n_embd // tp) % 128 == 0
+                        and hdr.n_ffn % tp == 0
+                        and (hdr.n_ffn // tp) % 128 == 0
+                        and est < 8e9):
+                    bp = max(8, -(-self.max_streams // 8) * 8)
+                    try:
+                        pretile = pick_tp_fused_tile(
+                            hdr.n_embd, hdr.n_embd // tp, tp, bp=bp)
+                    except ValueError:
+                        pretile = None  # no feasible tile at this bp
         self.load_params(
             read_bin(path, put=put, pad_vocab_to=pad_to, pretile=pretile))
 
@@ -247,6 +273,36 @@ class RWKV:
                 params = pad_vocab(params, multiple=math.lcm(512, 128 * tp))
                 cfg = params.config
             params = signedize_params(params)
+            # contiguous-block layout for the fused TP kernel when it
+            # will actually run (TPU backend, lane-aligned shards) AND
+            # the engine serves batches (max_streams > 8): at B<=8 the
+            # layouts measure within noise and pretile costs prefill a
+            # layout copy; at B=16/32 pretile is +4%/+27% over the best
+            # 3-D option and the only VMEM-safe t=512 at B=32
+            # (BENCH_NOTES round 3).
+            # Skipped when the loader already pretiled host-side
+            # (load_file passes 4-D weights through read_bin(pretile=)).
+            est = cfg.n_layer * 13 * cfg.n_embd ** 2 + 50688 * cfg.n_embd
+            if (jax.default_backend() not in ("cpu",)
+                    and self._tp_body in (None, "fused")
+                    and self.max_streams > 8
+                    and params.att.key.w.ndim == 3
+                    and params.att.key.w.dtype == jnp.int8
+                    and cfg.n_embd % tp == 0
+                    and (cfg.n_embd // tp) % 128 == 0
+                    and cfg.n_ffn % tp == 0
+                    and (cfg.n_ffn // tp) % 128 == 0
+                    and est < 8e9):
+                from rwkv_tpu.ops.pallas.decode_stack import pretile_params
+                from rwkv_tpu.ops.pallas.decode_stack_tp import (
+                    pick_tp_fused_tile)
+
+                bp = max(8, -(-self.max_streams // 8) * 8)
+                try:
+                    params = pretile_params(params, tile=pick_tp_fused_tile(
+                        cfg.n_embd, cfg.n_embd // tp, tp, bp=bp))
+                except ValueError:
+                    pass  # no feasible tile at this bp: keep 3-D
             # commit the TP layout once (no-op if read_bin already placed
             # shards; prevents a full reshard on every decode step for
             # in-memory load_params callers)

@@ -299,3 +299,59 @@ def test_tp2_large_batch_embed_fallback(model):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-4)
     _assert_no_races()
+
+
+def test_pick_tp_fused_tile_scales_with_batch():
+    """The f32 activation scratch scales with the padded batch, so the
+    tile picker must shrink the tile as bp grows (a bp=8 tile at B=128
+    would OOM VMEM on hardware)."""
+    from rwkv_tpu.ops.pallas.decode_stack_tp import pick_tp_fused_tile
+
+    # e_loc > 768: NOT full-width (measured 23% slower at E=1024) — 512
+    # until the batch-scaled scratch forces 256
+    t8 = pick_tp_fused_tile(1024, 1024, 1, bp=8)
+    t32 = pick_tp_fused_tile(1024, 1024, 1, bp=32)
+    t128 = pick_tp_fused_tile(1024, 1024, 1, bp=128)
+    assert t8 == 512 and t32 == 512 and t128 == 256, (t8, t32, t128)
+    # small e_loc keeps the measured full-width win (169M regime)
+    assert pick_tp_fused_tile(768, 768, 1, bp=8) == 768
+    with pytest.raises(ValueError):                    # scratch alone > VMEM
+        pick_tp_fused_tile(1024, 1024, 1, bp=256)
+
+
+def test_pretiled_vmem_check_uses_actual_batch(model):
+    """A baked-in tile that fits at B=8 but not at a huge batch must be
+    rejected by decode_stack_tp's pre-check (ValueError), not surface as
+    a Mosaic OOM on hardware."""
+    from rwkv_tpu.ops.pallas.decode_stack import pretile_params
+
+    cfg, params = model
+    pt = pretile_params(params, tile=256)   # full-width at E=256
+    B = 1024                                # bp scratch >> 15MB budget
+    state = init_state(cfg, (B,))
+    tok = jnp.zeros((B,), jnp.int32)
+    x = jnp.zeros((B, cfg.n_embd), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM"):
+        decode_stack_tp(
+            x, pt, state, params.att.decay, params.att.bonus,
+            tp=1, interpret=True, data_axis=None,
+        )
+
+
+def test_make_put_pretiled_block_dim_spec():
+    """read_bin(pretile=...) hands make_put 4-D [L, O/t, E, t] arrays for
+    the five column families: they must shard on the BLOCK dim (the same
+    output-column partition as the 3-D column spec)."""
+    from jax.sharding import PartitionSpec as P
+
+    from rwkv_tpu.parallel.sharding import make_put
+
+    mesh = make_mesh(model=2, data=1)
+    put = make_put(mesh)
+    w4 = np.zeros((2, 4, 64, 32), np.int8)    # [L, O/t, E, t]
+    for name in ("km", "vm", "rm", "ffn_k", "ffn_r"):
+        arr = put(name, w4)
+        assert arr.sharding.spec == P(None, "model", None, None), name
+    # row-parallel families stay 3-D with their row spec
+    arr = put("att_out", np.zeros((2, 64, 64), np.int8))
+    assert arr.sharding.spec == P(None, "model", None)
