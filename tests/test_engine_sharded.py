@@ -185,3 +185,37 @@ def test_generate_and_pool_over_dp_mesh():
     assert sorted(out) == sorted(rids)
     assert all(isinstance(v, str) for v in out.values())
     assert pool.pending == 0
+
+
+def test_sharded_engine_pretiled_serving_end_to_end():
+    """The batch-serving layout the engine loads on TPU (round 3):
+    PRETILED 4-D column families, sharded on the block dim, driving BOTH
+    the TP prefill (qmatmul einsum over 4-D weights under shard_map) and
+    the fused decode body (auto-selected for 4-D). CPU gates keep the
+    engine from pretiling itself here, so feed it pre-laid-out params —
+    the exact state a TPU engine reaches after load_params."""
+    from rwkv_tpu.ops.pallas.decode_stack import pretile_params
+
+    cfg = RWKVConfig.tiny_test(n_layer=1, n_embd=256, vocab_size=300)
+    params = quantize_params(init_params(jax.random.PRNGKey(13), cfg))
+
+    eng_ref = RWKV()
+    eng_ref.load_params(params, use_fused=False)
+    l_ref = np.asarray(eng_ref.forward([3, 4, 5]))
+
+    from rwkv_tpu.models.rwkv4 import pad_vocab, signedize_params
+
+    pt = pretile_params(
+        signedize_params(pad_vocab(params, multiple=256)), tile=128)
+    mesh = make_mesh(model=2, data=1)
+    with jax.sharding.set_mesh(mesh):
+        eng = RWKV(sharding=ShardingContext(mesh), max_streams=2,
+                   prefill_buckets=(8,))
+        eng.load_params(pt)
+        assert eng.params.att.key.w.ndim == 4   # layout survived load
+        l_tp = np.asarray(eng.forward([3, 4, 5]))     # TP prefill (4-D)
+        l_d, _ = eng._jit_step(eng.params, jnp.asarray(7, jnp.int32),
+                               eng.get_state(0))      # fused decode (4-D)
+    V = l_ref.shape[-1]
+    np.testing.assert_allclose(l_tp[:V], l_ref, rtol=3e-4, atol=3e-4)
+    assert bool(jnp.isfinite(l_d).all())
