@@ -155,14 +155,15 @@ def main():
 
             ptile = tile if tile else pick_tile(cfg.n_embd)
         # impl=tpfused layout policy (round 3, BENCH_NOTES): at matched
-        # tile the layouts are within noise at B<=8; at batch the 4-D
-        # contiguous-block layout is +4% (B=16) and the only VMEM-safe
-        # tile=512 at B=32 (+27% over the best 3-D option) — so pretile
-        # by default at batch > 8, matching the engine's sharded policy.
+        # tile the layouts are within noise at B=1; at batch the 4-D
+        # contiguous-block layout is +6%/+4% (B=8/16) and the only
+        # VMEM-safe tile=512 at B=32 (+27% over the best 3-D option) —
+        # so pretile by default at batch >= 8, matching the engine's
+        # sharded policy.
         # RWKV_TPU_BENCH_PRETILE=0/1 overrides either way.
         if impl == "tpfused":
             env = os.environ.get("RWKV_TPU_BENCH_PRETILE")
-            want = (env not in ("", "0")) if env is not None else batch > 8
+            want = (env not in ("", "0")) if env is not None else batch >= 8
             if want:
                 from rwkv_tpu.ops.pallas.decode_stack_tp import (
                     pick_tp_fused_tile)

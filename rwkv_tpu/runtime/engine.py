@@ -140,7 +140,7 @@ class RWKV:
             # because the tile divides E/tp.
             if (jax.default_backend() not in ("cpu",)
                     and self._tp_body in (None, "fused")
-                    and self.max_streams > 8):
+                    and self.max_streams >= 8):
                 from rwkv_tpu.io.binfmt import read_header
                 from rwkv_tpu.ops.pallas.decode_stack_tp import (
                     pick_tp_fused_tile)
@@ -275,17 +275,17 @@ class RWKV:
             params = signedize_params(params)
             # contiguous-block layout for the fused TP kernel when it
             # will actually run (TPU backend, lane-aligned shards) AND
-            # the engine serves batches (max_streams > 8): at B<=8 the
-            # layouts measure within noise and pretile costs prefill a
-            # layout copy; at B=16/32 pretile is +4%/+27% over the best
-            # 3-D option and the only VMEM-safe t=512 at B=32
-            # (BENCH_NOTES round 3).
+            # the engine serves batches (max_streams >= 8): at B=1 the
+            # layouts measure within noise (3-D kept for the
+            # latency-critical single-stream case); at B=8/16/32 pretile
+            # is +6%/+4%/+27% over the best 3-D option and the only
+            # VMEM-safe t=512 at B=32 (BENCH_NOTES round 3).
             # Skipped when the loader already pretiled host-side
             # (load_file passes 4-D weights through read_bin(pretile=)).
             est = cfg.n_layer * 13 * cfg.n_embd ** 2 + 50688 * cfg.n_embd
             if (jax.default_backend() not in ("cpu",)
                     and self._tp_body in (None, "fused")
-                    and self.max_streams > 8
+                    and self.max_streams >= 8
                     and params.att.key.w.ndim == 3
                     and params.att.key.w.dtype == jnp.int8
                     and cfg.n_embd % tp == 0
