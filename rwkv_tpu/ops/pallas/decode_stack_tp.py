@@ -417,6 +417,11 @@ def pick_tp_fused_tile(n_embd: int, e_loc: int, tp: int, bp: int = 8,
     # E=1024 full-width is 23% SLOWER than t=512 — 1,730 vs 2,254 tok/s
     # at B=1, 22.9k vs 28.3k at B=16; fewer, larger grid steps starve
     # the cross-step DMA overlap once the step already streams >=0.5MB).
+    # Measured optimum across sizes keeps E*tile ~ 512KB per weight
+    # block — the chip's DMA-efficiency plateau (tools/hbm_probe.py):
+    # 768*768, 1024*512, 2048*256 (t=512 is 11% slower at 1.5B),
+    # 4096*128 all land there; the VMEM budget walk below converges to
+    # it naturally once full-width is excluded above e_loc=768.
     if e_loc <= 768:
         cands = (e_loc, 512, 384, 256, 128)
     else:
