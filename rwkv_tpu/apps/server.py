@@ -12,6 +12,8 @@ Stdlib-only (the reference ethos is dependency-free). Endpoints:
   POST /tokenize   {"text": str} -> {"ids": [int]}
   POST /detokenize {"ids": [int]} -> {"text": str}
   GET  /health     -> {"status": "ok", "model": {...}}
+  GET  /metrics    -> {"counters": {...}, "timings": {...}, "pool": {...}?}
+                   (process metrics registry + live pool occupancy)
 
 Each /complete runs on a fresh state (stateless API, like the reference
 flask server which rebuilds context per request).
@@ -130,6 +132,20 @@ def make_handler(eng, lock, runner=None):
                     "model": {"n_layer": cfg.n_layer, "n_embd": cfg.n_embd,
                               "vocab": eng._true_vocab},
                 })
+            elif self.path == "/metrics":
+                # counters + timings from the process-wide registry
+                # (pool.tokens_decoded, engine.tokens_generated, ...) plus
+                # live pool occupancy when continuous batching is on
+                from rwkv_tpu.utils.metrics import metrics
+
+                out = metrics.snapshot()
+                if runner is not None:
+                    out["pool"] = {
+                        "slots": runner.pool.B,
+                        "active": int(len(runner.pool._by_slot)),
+                        "queued": int(len(runner.pool._queue)),
+                    }
+                self._json(200, out)
             else:
                 self._json(404, {"error": "not found"})
 

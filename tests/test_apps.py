@@ -211,3 +211,24 @@ def test_server_ban_tokens_validation(server):
     code, body = _post(server, "/complete",
                        {"prompt": "Hi", "max_tokens": 2, "ban_tokens": [0, 5]})
     assert code == 200 and "completion" in body
+
+
+def test_server_metrics_endpoint(server):
+    """/metrics exposes the process metrics registry; token counters move
+    after a completion."""
+    _post(server, "/complete", {"prompt": "Hi", "max_tokens": 3})
+    with urllib.request.urlopen(server + "/metrics") as r:
+        body = json.loads(r.read())
+    assert "counters" in body and "timings" in body
+    assert body["counters"].get("engine.tokens_generated", 0) >= 1
+
+
+def test_pooled_server_metrics_occupancy(pooled_server):
+    """Pool mode adds live occupancy (slots/active/queued) to /metrics."""
+    _post(pooled_server, "/complete", {"prompt": "Hi", "max_tokens": 2})
+    with urllib.request.urlopen(pooled_server + "/metrics") as r:
+        body = json.loads(r.read())
+    pool = body.get("pool")
+    assert pool is not None
+    assert pool["slots"] >= 1 and pool["active"] >= 0 and pool["queued"] >= 0
+    assert body["counters"].get("pool.requests_completed", 0) >= 1
