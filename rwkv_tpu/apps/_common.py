@@ -28,6 +28,10 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    default=None,
                    help="TP step body (default auto: fused per-shard "
                         "Pallas kernels when E/TP is lane-aligned)")
+    p.add_argument("--tp-pretile", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="sharded weight layout: contiguous-block pretile "
+                        "(auto = on when --streams >= 8; BENCH_NOTES)")
     p.add_argument("--bf16-prefill", action="store_true",
                    help="bf16 matmuls for prompt ingest (~2x; see BENCH_NOTES)")
     p.add_argument("--temp", type=float, default=0.9)
@@ -49,8 +53,11 @@ def build_engine(args) -> RWKV:
     elif getattr(args, "tp_body", None):
         print("warning: --tp-body has no effect without --shards > 1",
               file=sys.stderr)
+    pt = {"auto": None, "on": True, "off": False}[
+        getattr(args, "tp_pretile", "auto")]
     eng = RWKV(max_streams=args.streams, prefill_dtype=pdt,
-               sharding=sharding, tp_body=getattr(args, "tp_body", None))
+               sharding=sharding, tp_body=getattr(args, "tp_body", None),
+               tp_pretile=pt)
     if args.mock:
         import jax
 

@@ -63,6 +63,7 @@ class RWKV:
         sharding=None,
         prefill_dtype=jnp.float32,
         tp_body: Optional[str] = None,
+        tp_pretile: Optional[bool] = None,
     ):
         self.params: Optional[RWKVParams] = None
         self.config: Optional[RWKVConfig] = None
@@ -75,6 +76,10 @@ class RWKV:
         # CPU backends: 'pallas' half-kernels; else 'xla') — see
         # parallel/tp_step.py
         self._tp_body = tp_body
+        # Sharded weight layout: None = auto (pretile the contiguous-block
+        # layout when serving batches, max_streams >= 8 — measured policy
+        # in BENCH_NOTES round 3); True/False forces it either way.
+        self._tp_pretile = tp_pretile
         self._state: Optional[WKVState] = None  # leaves [L, B, E]
         self._last_logits: dict[int, jax.Array] = {}  # stream -> logits [V]
         self._pending: dict[int, int] = {}  # emitted-but-not-absorbed token
@@ -138,9 +143,11 @@ class RWKV:
             # the single-chip path (est<8GB for prefill's layout copy) +
             # lane alignment per shard; the block dim shards evenly
             # because the tile divides E/tp.
+            want_pt = (self.max_streams >= 8 if self._tp_pretile is None
+                       else self._tp_pretile)
             if (jax.default_backend() not in ("cpu",)
                     and self._tp_body in (None, "fused")
-                    and self.max_streams >= 8):
+                    and want_pt):
                 from rwkv_tpu.io.binfmt import read_header
                 from rwkv_tpu.ops.pallas.decode_stack_tp import (
                     pick_tp_fused_tile)
@@ -283,9 +290,11 @@ class RWKV:
             # Skipped when the loader already pretiled host-side
             # (load_file passes 4-D weights through read_bin(pretile=)).
             est = cfg.n_layer * 13 * cfg.n_embd ** 2 + 50688 * cfg.n_embd
+            want_pt = (self.max_streams >= 8 if self._tp_pretile is None
+                       else self._tp_pretile)
             if (jax.default_backend() not in ("cpu",)
                     and self._tp_body in (None, "fused")
-                    and self.max_streams >= 8
+                    and want_pt
                     and params.att.key.w.ndim == 3
                     and params.att.key.w.dtype == jnp.int8
                     and cfg.n_embd % tp == 0
