@@ -355,3 +355,17 @@ def test_make_put_pretiled_block_dim_spec():
     # row-parallel families stay 3-D with their row spec
     arr = put("att_out", np.zeros((2, 64, 64), np.int8))
     assert arr.sharding.spec == P(None, "model", None)
+
+
+def test_pick_tp_fused_tile_model_size_pins():
+    """Pin the auto-picked tile for every standard config at tp=1/B=1 —
+    the perf surface the benches stand on. The measured optimum keeps
+    E*tile ~ 512KB per weight block (BENCH_NOTES round 3): full-width at
+    169M, then 512/256/256/128/128 as E grows."""
+    from rwkv_tpu.ops.pallas.decode_stack_tp import pick_tp_fused_tile
+
+    expect = {768: 768, 1024: 512, 2048: 256, 2560: 256,
+              4096: 128, 5120: 128}
+    for e, want in expect.items():
+        got = pick_tp_fused_tile(e, e, 1, bp=8)
+        assert got == want, (e, got, want)
