@@ -1,4 +1,12 @@
-"""Isolate the TP-kernel pretile inversion (round-2 BENCH_NOTES anomaly).
+"""Isolate the TP-kernel pretile inversion (round-2 anomaly — RESOLVED).
+
+RESOLUTION (round 3, after this probe ran): the "inversion" was a TILE
+effect, not a layout effect — the round-2 4-D run was effectively
+measuring a full-width-tile config, which loses 23-30% at E=1024 at any
+batch. At matched tile the layouts are within noise (this probe's
+result), and at batch the 4-D layout WINS (+6% B=8, +4% B=16, only
+VMEM-safe t=512 at B=32). See BENCH_NOTES "Round-3 findings". The probe
+is kept for the methodology: it factorizes layout x grid-spec.
 
 Measured in round 2: the contiguous-block weight layout (pretile_params,
 [L, E, O] -> [L, O/t, E, t]) gains +0.5-3% in the single-chip decode stack
