@@ -369,3 +369,38 @@ def test_pick_tp_fused_tile_model_size_pins():
     for e, want in expect.items():
         got = pick_tp_fused_tile(e, e, 1, bp=8)
         assert got == want, (e, got, want)
+
+
+def test_tp4_pretiled_parity():
+    """Pretiled (contiguous-block) weights at tp=4 — the layout the
+    engine serves batches with, on a production TP width: block-dim
+    sharding must partition output columns identically to the 3-D column
+    shard through the multi-peer RDMA reduce."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rwkv_tpu.ops.pallas.decode_stack import pretile_params
+
+    cfg = RWKVConfig.tiny_test(n_layer=1, n_embd=512, vocab_size=300)
+    params = signedize_params(pad_vocab(
+        quantize_params(init_params(jax.random.PRNGKey(0), cfg)),
+        multiple=512,
+    ))
+    pt = pretile_params(params, tile=128)   # E/tp = 128 per shard
+    mesh = make_mesh(model=4, data=1)
+    B = 2
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray([3, 150], jnp.int32)
+    l_ref, s_ref = forward_step(params, tok, state)
+
+    p_sh = shard_params(pt, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, pt, body="fused",
+                        interpret=pltpu.InterpretParams(detect_races=True))
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = step(p_sh, tok, st_sh)
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+    _assert_no_races()
