@@ -59,15 +59,22 @@ def weight_bytes_per_token(params) -> int:
 
 
 def bench_prefill(cfg, params, name, T=None, reps=4):
-    """Prompt-ingest throughput: parallel-WKV chunked prefill, XLA path.
+    """Prompt-ingest throughput: parallel-WKV chunked prefill.
 
     RWKV_TPU_BENCH_PREC=bf16 runs the matmuls in bf16 (f32 accumulate):
     prefill is MXU-compute-bound, so bf16's 4x rate advantage shows here
-    (decode does not care — it is HBM-bound)."""
+    (decode does not care — it is HBM-bound).
+
+    RWKV_TPU_BENCH_IMPL=tp/tpfused routes through the sharded serving
+    prefill (parallel.tp_step.make_engine_prefill under shard_map on a
+    1-device mesh) — the path the pool/engine use when sharded; the gap
+    to the plain forward_seq number is the shard_map execution overhead
+    at tp=1 (collectives are absent)."""
     import numpy as np
 
     from rwkv_tpu.models.rwkv4 import forward_seq, init_state
 
+    impl = os.environ.get("RWKV_TPU_BENCH_IMPL", "fused")
     prec = os.environ.get("RWKV_TPU_BENCH_PREC", "f32")
     cdt = jnp.bfloat16 if prec == "bf16" else jnp.float32
     if T is None:
@@ -75,10 +82,27 @@ def bench_prefill(cfg, params, name, T=None, reps=4):
     state = init_state(cfg)
     toks = jnp.asarray(np.arange(T) % 50000, jnp.int32)
 
+    seq_fn = None
+    if impl in ("tp", "tpfused"):
+        from rwkv_tpu.models.rwkv4 import signedize_params
+        from rwkv_tpu.parallel.mesh import make_mesh
+        from rwkv_tpu.parallel.tp_step import make_engine_prefill
+
+        params = signedize_params(params)
+        mesh = make_mesh(model=1, data=1)
+        tp_prefill = make_engine_prefill(mesh, params, compute_dtype=cdt)
+
+        def seq_fn(params, toks, st):
+            return tp_prefill(params, toks, st,
+                              jnp.asarray(toks.shape[0], jnp.int32))
+
     def ingest(params, toks, state, n_chunks):
         def body(st, _):
-            logits, st = forward_seq(params, toks, st, parallel=True,
-                                     compute_dtype=cdt)
+            if seq_fn is not None:
+                logits, st = seq_fn(params, toks, st)
+            else:
+                logits, st = forward_seq(params, toks, st, parallel=True,
+                                         compute_dtype=cdt)
             return st, logits[..., 0]
         st, lg = jax.lax.scan(body, state, None, length=n_chunks)
         return st, lg
@@ -101,7 +125,8 @@ def bench_prefill(cfg, params, name, T=None, reps=4):
     tok_s = T / per_chunk
     print(json.dumps({
         "metric": f"prefill_tokens_per_sec_rwkv4_{name}_q8"
-                  + ("_bf16" if prec == "bf16" else ""),
+                  + ("_bf16" if prec == "bf16" else "")
+                  + (f"_{impl}" if impl in ("tp", "tpfused") else ""),
         "value": round(tok_s, 1),
         "unit": "tokens/s",
         "vs_baseline": 1.0,
