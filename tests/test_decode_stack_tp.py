@@ -369,6 +369,11 @@ def test_pick_tp_fused_tile_model_size_pins():
     for e, want in expect.items():
         got = pick_tp_fused_tile(e, e, 1, bp=8)
         assert got == want, (e, got, want)
+    # pod shapes: per-shard e_loc with the tp exchange scratch — every
+    # pick lands on the same E*tile ~ 512KB plateau
+    assert pick_tp_fused_tile(1024, 512, 2, bp=8) == 512    # 430M tp=2
+    assert pick_tp_fused_tile(4096, 1024, 4, bp=8) == 128   # 7B tp=4
+    assert pick_tp_fused_tile(5120, 640, 8, bp=8) == 128    # 14B tp=8
 
 
 def test_tp4_pretiled_parity():
