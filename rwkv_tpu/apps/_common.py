@@ -31,7 +31,9 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tp-pretile", choices=("auto", "on", "off"),
                    default="auto",
                    help="sharded weight layout: contiguous-block pretile "
-                        "(auto = on when --streams >= 8; BENCH_NOTES)")
+                        "(auto = on when --streams >= 8; BENCH_NOTES). The "
+                        "server sizes the baked tile for max(--streams, "
+                        "--pool) so pooled batches pass the VMEM pre-check")
     p.add_argument("--bf16-prefill", action="store_true",
                    help="bf16 matmuls for prompt ingest (~2x; see BENCH_NOTES)")
     p.add_argument("--temp", type=float, default=0.9)

@@ -272,6 +272,14 @@ def main(argv=None):
                         "stop latency lags by up to K-1 tokens)")
     args = p.parse_args(argv)
 
+    if args.pool > 0:
+        # The engine's batch-dependent decisions (pretile bp, VMEM-safe
+        # tile) must be sized for the POOL width, not just --streams: a
+        # tile baked for --streams 8 fails decode_stack_tp's batch-scaled
+        # VMEM pre-check at the first --pool 32 step, and --streams 1
+        # would silently disable the measured pretile win.
+        args.streams = max(args.streams, args.pool)
+
     eng = build_engine(args)
     runner = None
     if args.pool > 0:

@@ -534,15 +534,19 @@ def decode_stack_tp(
         Fl = ffn.key.w.shape[-1]
         if tile is None:
             bp_pick = max(8, -(-B // 8) * 8)
-            if bp_pick > 16 and 14 * E * El <= 30 * 1024 * 1024:
-                # Large-batch 3-D exception (measured, 430M/Bp=32): the
-                # 14*E*t model MIS-ranks strided windows at batch —
-                # t=512 OOMs scoped VMEM by 224KB while the full-width
-                # window (nominally 2x bigger) compiles and runs (Mosaic
-                # does not double-buffer a window that spans the whole
-                # dim). Prefer full-width where it is measured-safe;
-                # batch-serving perf users should pretile instead
-                # (engine does: +~4% over this and VMEM-predictable).
+            # Large-batch 3-D exception (measured, 430M/Bp=32): the
+            # 14*E*t model MIS-ranks strided windows at batch — t=512
+            # OOMs scoped VMEM by 224KB while the full-width window
+            # (nominally 2x bigger) compiles and runs (Mosaic does not
+            # double-buffer a window that spans the whole dim — so the
+            # 7 weight streams cost 7*E*El single-buffered, not 14*).
+            # Prefer full-width where that SINGLE-buffered footprint
+            # plus the head stream and the batch-scaled fixed scratch
+            # fits the budget; batch-serving perf users should pretile
+            # instead (engine does: +~4% over this and VMEM-predictable).
+            fw_need = (7 * E * El + 2 * E * 128
+                       + _fixed_scratch_bytes(E, El, tp, bp_pick))
+            if bp_pick > 16 and fw_need <= 15 * 1024 * 1024:
                 tile = El
             else:
                 tile = pick_tp_fused_tile(E, El, tp, bp=bp_pick)

@@ -25,20 +25,35 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    **kwargs,
 ) -> None:
     """Bootstrap jax.distributed. On Cloud TPU the arguments auto-detect;
-    pass them explicitly for other launchers."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    pass them explicitly for other launchers.
+
+    Failure policy: with EXPLICIT coordinator args a failed bootstrap
+    raises — a pod whose coordinator is misconfigured must not silently
+    degrade to single-process serving (each host would happily serve its
+    own shard-less copy). Auto-detect mode still no-ops gracefully so
+    single-host runs need no special-casing."""
+    if jax.distributed.is_initialized():
+        return
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kwargs,  # e.g. initialization_timeout (seconds)
         )
-    except (RuntimeError, ValueError):
-        # single-process run (tests, single host without a coordinator)
-        pass
+    except (RuntimeError, ValueError) as e:
+        if explicit:
+            raise RuntimeError(
+                f"jax.distributed bootstrap failed with explicit "
+                f"coordinator args (coordinator={coordinator_address}, "
+                f"num_processes={num_processes}, process_id={process_id}); "
+                f"refusing to silently fall back to single-process mode"
+            ) from e
+        # auto-detect on a single host (tests, dev): no coordinator is fine
 
 
 def pod_mesh(model: int | str = "slice"):

@@ -507,15 +507,39 @@ class RWKV:
         self._last_logits[stream] = logits
         return logits[..., : self._true_vocab]
 
-    def load_context(self, text: str, progress: bool = False, stream: int = 0) -> int:
+    def load_context(
+        self,
+        text: str,
+        progress: bool | Callable[[float], None] = False,
+        stream: int = 0,
+    ) -> int:
         """Tokenize + ingest a prompt; returns the last token id
-        (reference rwkv.h:395-413)."""
+        (reference rwkv.h:395-413).
+
+        progress: a callable receives the ingested fraction (0, 1] after
+        each prefill chunk; True prints percent to stderr like the
+        reference's loadContext progress line (rwkv.h:405-409)."""
         if self.tokenizer is None:
             raise RuntimeError("tokenizer not loaded")
         ids = self.tokenizer.encode(text)
         if not ids:
             return -1
-        self.forward(ids, Mode.GPT, stream=stream)
+        cb = progress if callable(progress) else None
+        if cb is None and progress:
+            import sys
+
+            def cb(frac: float) -> None:
+                end = "\n" if frac >= 1.0 else ""
+                print(f"\rloading context: {frac:6.1%}", end=end,
+                      file=sys.stderr, flush=True)
+
+        if cb is None:
+            self.forward(ids, Mode.GPT, stream=stream)
+        else:
+            K = self.prefill_buckets[-1]
+            for i in range(0, len(ids), K):
+                self.forward(ids[i:i + K], Mode.GPT, stream=stream)
+                cb(min(i + K, len(ids)) / len(ids))
         return ids[-1]
 
     loadContext = load_context

@@ -40,6 +40,7 @@ def _assert_one_collective(step, *args):
     assert counts.get("all-gather", 0) == 1, counts   # logits gather
     assert counts.get("all-to-all", 0) == 0, counts
     assert counts.get("reduce-scatter", 0) == 0, counts
+    assert counts.get("collective-permute", 0) == 0, counts
 
 
 def _assert_no_races():
@@ -215,6 +216,7 @@ def test_fused_body_xla_collective_count(model):
     assert counts.get("all-gather", 0) == 1, counts   # logits gather
     assert counts.get("all-to-all", 0) == 0, counts
     assert counts.get("reduce-scatter", 0) == 0, counts
+    assert counts.get("collective-permute", 0) == 0, counts
 
 
 def test_pick_tp_head_tile_alignment():

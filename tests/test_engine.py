@@ -199,3 +199,28 @@ def test_generate_stop_spans_piece_boundary(engine):
     cut = engine.generate("The", max_tokens=40, seed=2, stop=[stop])
     assert stop not in cut
     assert cut == full[: full.index(stop)]
+
+
+@pytest.mark.skipif(not os.path.isdir(VOCAB_DIR), reason="vocab unavailable")
+def test_load_context_progress_callback(engine):
+    """load_context(progress=cb) reports monotone fractions ending at 1.0,
+    one per prefill chunk, and ingests identically to a plain forward()
+    (reference parity: the per-chunk progress print, rwkv.h:405-409)."""
+    engine.load_tokenizer(VOCAB_DIR)
+    engine.reset_state()
+    text = "The quick brown fox jumps over the lazy dog. " * 8
+    ids = engine.tokenizer.encode(text)
+    assert len(ids) > engine.prefill_buckets[-1]  # spans multiple chunks
+
+    fracs = []
+    last = engine.load_context(text, progress=fracs.append)
+    assert last == ids[-1]
+    assert len(fracs) == -(-len(ids) // engine.prefill_buckets[-1])
+    assert fracs == sorted(fracs) and fracs[-1] == 1.0
+    assert all(0 < f <= 1.0 for f in fracs)
+    l_prog = np.asarray(engine._last_logits[0])
+
+    engine.reset_state()
+    engine.forward(ids)
+    np.testing.assert_allclose(
+        l_prog, np.asarray(engine._last_logits[0]), rtol=1e-5, atol=1e-5)

@@ -40,10 +40,12 @@ def test_initialize_single_process_noop():
     assert len(jax.devices()) >= 1
 
 
-def test_initialize_explicit_args_single_process():
-    """Explicit (coordinator, n, id) args for non-Cloud launchers must
-    pass through; in a 1-process test env the bootstrap either raises
-    (caught) or is skipped — never crashes."""
-    initialize(coordinator_address="127.0.0.1:65432",
-               num_processes=1, process_id=0)
-    assert jax.process_count() >= 1
+def test_initialize_explicit_args_failure_raises():
+    """With EXPLICIT coordinator args a failed bootstrap must raise —
+    never silently degrade to single-process serving (round-3 verdict:
+    a misconfigured pod coordinator must be loud). In this process the
+    backend is already live, so the bootstrap reliably fails."""
+    with pytest.raises(RuntimeError, match="refusing to silently fall"):
+        initialize(coordinator_address="127.0.0.1:65432",
+                   num_processes=1, process_id=0)
+    assert jax.process_count() == 1  # untouched
