@@ -40,10 +40,11 @@ import jax
 import jax.numpy as jnp
 
 # Persistent compile cache: the fused decode kernel inside a long scan takes
-# minutes to compile; cache makes reruns instant.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/rwkv_tpu_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# minutes to compile; cache makes reruns instant. One shared implementation
+# with the serving stack (utils/cache.py — the engine enables it too).
+from rwkv_tpu.utils.cache import configure_cache  # noqa: E402
+
+configure_cache()
 
 
 def weight_bytes_per_token(params) -> int:

@@ -39,21 +39,43 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from rwkv_tpu.apps._common import add_model_args, build_engine
 
 
+class PoolBusy(RuntimeError):
+    """Admission queue full — reject instead of queueing unboundedly
+    (HTTP 503 + Retry-After)."""
+
+
+class PoolTimeout(RuntimeError):
+    """submit() exceeded its wait budget (HTTP 503)."""
+
+
 class PoolRunner:
     """Background continuous-batching executor for the HTTP server.
 
     submit() enqueues a request and blocks the calling HTTP thread until
     the pool finishes it; a single daemon thread drives pool.step() so all
     concurrent requests advance in one batched device program per token.
+
+    Backpressure (round-3 verdict: a client burst must not create an
+    unbounded queue + one blocked thread per request forever):
+      max_queue       — queued (not-yet-admitted) requests beyond this
+                        are rejected with PoolBusy (503 + Retry-After).
+      submit_timeout  — optional seconds a submit() waits before giving
+                        up with PoolTimeout; a not-yet-admitted request
+                        is cancelled, an in-flight one finishes and is
+                        discarded.
     """
 
-    def __init__(self, pool):
+    def __init__(self, pool, max_queue: int | None = None,
+                 submit_timeout: float | None = None):
         self.pool = pool
+        self.max_queue = max_queue if max_queue is not None else 4 * pool.B
+        self.submit_timeout = submit_timeout
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._done: dict[int, str] = {}
         self._errors: dict[int, str] = {}
         self._events: dict[int, threading.Event] = {}
+        self._abandoned: set[int] = set()
         t = threading.Thread(target=self._loop, daemon=True)
         t.start()
 
@@ -86,14 +108,24 @@ class PoolRunner:
                 print(f"[pool] step failed: {e!r}", file=sys.stderr)
                 self._fail_all(f"pool step failed: {e}")
                 continue
-            for req in finished:
-                self._done[req.rid] = req.text
-                ev = self._events.pop(req.rid, None)
-                if ev:
-                    ev.set()
+            with self._lock:
+                for req in finished:
+                    if req.rid in self._abandoned:  # timed-out client gone
+                        self._abandoned.discard(req.rid)
+                        continue
+                    self._done[req.rid] = req.text
+                    ev = self._events.pop(req.rid, None)
+                    if ev:
+                        ev.set()
             if not busy:
                 self._wake.wait()
                 self._wake.clear()
+
+    def would_block(self) -> bool:
+        """True when a submit() right now would be rejected (queue full) —
+        lets the streaming endpoint refuse BEFORE sending 200 headers."""
+        with self._lock:
+            return len(self.pool._queue) >= self.max_queue
 
     def submit(self, prompt, on_text=None, **kw) -> str:
         """Enqueue and block until the pool finishes the request. on_text
@@ -101,10 +133,25 @@ class PoolRunner:
         pool's stepping thread, keep it fast."""
         ev = threading.Event()
         with self._lock:
+            if len(self.pool._queue) >= self.max_queue:
+                raise PoolBusy(
+                    f"admission queue full ({self.max_queue} waiting)")
             rid = self.pool.submit(prompt, on_text=on_text, **kw)
             self._events[rid] = ev
         self._wake.set()
-        ev.wait()
+        if not ev.wait(self.submit_timeout):
+            with self._lock:
+                if ev.is_set():   # completion raced the timeout: take it
+                    pass
+                else:
+                    self._events.pop(rid, None)
+                    if not self.pool.cancel_queued(rid):
+                        # already admitted: let it finish, discard result
+                        self._abandoned.add(rid)
+                    self._done.pop(rid, None)
+                    self._errors.pop(rid, None)
+                    raise PoolTimeout(
+                        f"request timed out after {self.submit_timeout}s")
         err = self._errors.pop(rid, None)
         if err is not None:
             raise RuntimeError(err)
@@ -113,11 +160,13 @@ class PoolRunner:
 
 def make_handler(eng, lock, runner=None):
     class Handler(BaseHTTPRequestHandler):
-        def _json(self, code, obj):
+        def _json(self, code, obj, retry_after=None):
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if retry_after is not None:
+                self.send_header("Retry-After", str(retry_after))
             self.end_headers()
             self.wfile.write(body)
 
@@ -199,10 +248,16 @@ def make_handler(eng, lock, runner=None):
                     ban_tokens=tuple(ban),
                 )
                 if req.get("stream"):
+                    if runner is not None and runner.would_block():
+                        return self._json(503, {"error": "server busy"},
+                                          retry_after=1)
                     return self._stream_complete(prompt, kw)
                 if runner is not None:  # continuous batching
                     try:
                         out = runner.submit(prompt, **kw)
+                    except (PoolBusy, PoolTimeout) as e:
+                        return self._json(503, {"error": str(e)},
+                                          retry_after=1)
                     except RuntimeError as e:
                         return self._json(500, {"error": str(e)})
                 else:
@@ -270,6 +325,12 @@ def main(argv=None):
     p.add_argument("--pool-chunk", type=int, default=4, metavar="K",
                    help="tokens per device dispatch in pool mode (admission/"
                         "stop latency lags by up to K-1 tokens)")
+    p.add_argument("--pool-queue", type=int, default=None, metavar="Q",
+                   help="max queued (not yet admitted) requests before "
+                        "/complete returns 503 (default 4x --pool)")
+    p.add_argument("--pool-timeout", type=float, default=None, metavar="S",
+                   help="max seconds a request may wait end-to-end before "
+                        "503 (default: unlimited)")
     args = p.parse_args(argv)
 
     if args.pool > 0:
@@ -290,8 +351,10 @@ def main(argv=None):
                              prefill_fn=eng._prefill_impl,
                              prefill_dtype=eng.prefill_dtype,
                              step_chunk=args.pool_chunk)
-        runner = PoolRunner(pool)
-        print(f"continuous batching: {args.pool} slots", file=sys.stderr)
+        runner = PoolRunner(pool, max_queue=args.pool_queue,
+                            submit_timeout=args.pool_timeout)
+        print(f"continuous batching: {args.pool} slots, queue depth "
+              f"{runner.max_queue}", file=sys.stderr)
     lock = threading.Lock()
     srv = ThreadingHTTPServer((args.host, args.port),
                               make_handler(eng, lock, runner))

@@ -65,6 +65,13 @@ class RWKV:
         tp_body: Optional[str] = None,
         tp_pretile: Optional[bool] = None,
     ):
+        # Persistent XLA compile cache for every engine user (server, CLI,
+        # library): production-shape kernels compile in minutes cold
+        # (885 s at 430M/B=16 pretiled, BENCH_NOTES) and ~0 s warm.
+        # Env-overridable; RWKV_TPU_CACHE_DIR=off disables.
+        from rwkv_tpu.utils.cache import configure_cache
+
+        configure_cache()
         self.params: Optional[RWKVParams] = None
         self.config: Optional[RWKVConfig] = None
         self.tokenizer: Optional[BPETokenizer] = None

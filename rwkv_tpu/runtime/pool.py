@@ -93,6 +93,9 @@ class InferencePool:
         stop-string latency, both of which lag by up to step_chunk-1
         steps; finished slots keep decoding (masked) until the chunk
         ends, which is free at memory-bound batch sizes."""
+        from rwkv_tpu.utils.cache import configure_cache
+
+        configure_cache()  # warm restarts for standalone pool users too
         self.params = params
         self.cfg = params.config
         self.tok = tokenizer
@@ -136,6 +139,7 @@ class InferencePool:
         self._jit_step_k = jax.jit(self._batched_step_k,
                                    static_argnames=("k",))
         self._jit_prefill = jax.jit(self._prefill)
+        self._jit_admit = jax.jit(self._admit_sample)
 
     # -- device programs ------------------------------------------------------
 
@@ -174,6 +178,18 @@ class InferencePool:
             body, (tokens, state, keys), None, length=k
         )
         return hist, state, keys
+
+    def _admit_sample(self, logits, keys, temp, tau, ban):
+        """First-token sampling for a whole admission burst in ONE device
+        program: [W, V] logits, per-request keys/temps/taus/ban rows,
+        vmapped typical(). Identical key-split order per lane as the old
+        one-request-at-a-time path, so token streams are unchanged."""
+        def one(key, lg, t, ta, bn):
+            key, sub = jax.random.split(key)
+            lg = jnp.where(bn, -1e9, lg)
+            return typical(sub, lg, temp=t, tau=ta).astype(jnp.int32), key
+
+        return jax.vmap(one)(keys, logits, temp, tau, ban)
 
     def _prefill(self, params, tokens, length, slot_state):
         """Prompt ingest (parallel WKV scan), bucketed. tokens [T] with a
@@ -222,6 +238,16 @@ class InferencePool:
     @property
     def pending(self) -> int:
         return len(self._queue) + len(self._by_slot)
+
+    def cancel_queued(self, rid: int) -> bool:
+        """Remove a not-yet-admitted request from the queue (the server's
+        submit-timeout path). Returns False when the request was already
+        admitted (it will finish and must be discarded by the caller)."""
+        for i, req in enumerate(self._queue):
+            if req.rid == rid:
+                del self._queue[i]
+                return True
+        return False
 
     def abort_all(self) -> None:
         """Drop every queued and in-flight request and free their slots
@@ -306,7 +332,6 @@ class InferencePool:
             for b in range(n):
                 if lens[b] > 0:
                     chunk_lg[b] = lg[b]
-        logits_host = [np.asarray(x) for x in chunk_lg]  # one sync point
 
         # scatter prefilled states into the pool slots
         slot_idx = jnp.asarray(slots, jnp.int32)
@@ -314,18 +339,41 @@ class InferencePool:
             lambda pool, s: pool.at[:, slot_idx].set(s[:, :n]),
             self._state, batch_state,
         )
-        for b, (req, slot) in enumerate(zip(reqs, slots)):
-            # first token sampled host-side from prefill logits
-            key = jax.random.PRNGKey(req.seed)
-            key, sub = jax.random.split(key)
-            row = np.zeros((self.cfg.vocab_size,), bool)
+
+        # First tokens for the WHOLE burst in one vmapped device program
+        # (round-3 verdict: n separate typical() dispatches each synced by
+        # int(...) cost ~n x the ~30 ms tunnel dispatch floor). Padded to
+        # the same power-of-two width bucket as prefill to bound compiles.
+        V = self.cfg.vocab_size
+        rows = np.zeros((n, V), bool)
+        for b, req in enumerate(reqs):
             for t in req.ban_tokens:
-                row[t] = True
-            self._ban[slot] = row
-            lg = jnp.where(jnp.asarray(row), -1e9, jnp.asarray(logits_host[b]))
-            first = int(typical(sub, lg, temp=req.temp, tau=req.tau))
+                rows[b, t] = True
+        keys0 = np.stack([np.asarray(jax.random.PRNGKey(req.seed))
+                          for req in reqs])
+        temps = np.asarray([req.temp for req in reqs], np.float32)
+        taus = np.asarray([req.tau for req in reqs], np.float32)
+        Wb = next(w for w in self._widths if w >= n)
+
+        def padw(a):
+            return (np.concatenate([a, np.repeat(a[:1], Wb - n, 0)], 0)
+                    if Wb != n else a)
+
+        lg_stack = jnp.stack(chunk_lg[:n])
+        if Wb != n:
+            lg_stack = jnp.concatenate(
+                [lg_stack, jnp.broadcast_to(lg_stack[:1], (Wb - n, V))], 0)
+        toks_d, keys_d = self._jit_admit(
+            lg_stack, jnp.asarray(padw(keys0)), jnp.asarray(padw(temps)),
+            jnp.asarray(padw(taus)), jnp.asarray(padw(rows)))
+        firsts = np.asarray(toks_d)          # the burst's one host sync
+        new_keys = np.asarray(keys_d)
+
+        for b, (req, slot) in enumerate(zip(reqs, slots)):
+            self._ban[slot] = rows[b]
+            first = int(firsts[b])
             self._tokens[slot] = first
-            self._keys[slot] = np.array(key)
+            self._keys[slot] = new_keys[b]
             self._temp[slot] = req.temp
             self._tau[slot] = req.tau
             self._active[slot] = True

@@ -232,3 +232,94 @@ def test_pooled_server_metrics_occupancy(pooled_server):
     assert pool is not None
     assert pool["slots"] >= 1 and pool["active"] >= 0 and pool["queued"] >= 0
     assert body["counters"].get("pool.requests_completed", 0) >= 1
+
+
+@pytest.fixture()
+def tight_pooled_server():
+    """Pooled server with a 1-deep admission queue: floods must be
+    rejected with 503, not absorbed into unbounded threads."""
+    from http.server import ThreadingHTTPServer
+
+    from rwkv_tpu.apps._common import build_engine
+    from rwkv_tpu.apps.server import PoolRunner, make_handler
+    from rwkv_tpu.runtime.pool import InferencePool
+
+    class A:
+        mock, model, vocab, streams = True, None, VOCAB_DIR, 1
+        temp, tau, seed = 0.9, 0.8, 0
+
+    eng = build_engine(A)
+    pool = InferencePool(eng.params, eng.tokenizer, max_streams=2,
+                         prefill_bucket=16, step_fn=eng._step_fn)
+    runner = PoolRunner(pool, max_queue=1)
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(eng, threading.Lock(), runner)
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", runner
+    srv.shutdown()
+
+
+def test_pooled_server_backpressure(tight_pooled_server):
+    """A burst of 4x-slot concurrent clients: every response is either a
+    completion (200) or a clean 503 with Retry-After; at least one 503
+    fires (2 slots + 1 queue < 8 clients); afterwards the server still
+    serves (rejection never poisons the pool)."""
+    url, runner = tight_pooled_server
+    results = {}
+
+    def hit(i):
+        req = urllib.request.Request(
+            url + "/complete",
+            json.dumps({"prompt": f"Flood {i}", "max_tokens": 24,
+                        "seed": i}).encode(),
+            {"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as r:
+                results[i] = (r.status, json.loads(r.read()), dict(r.headers))
+        except urllib.error.HTTPError as e:
+            results[i] = (e.code, json.loads(e.read()), dict(e.headers))
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert len(results) == 8
+    codes = [c for c, _, _ in results.values()]
+    assert all(c in (200, 503) for c in codes), codes
+    assert 503 in codes, codes  # 2 slots + 1 queue slot < 8 clients
+    for c, body, hdrs in results.values():
+        if c == 503:
+            assert hdrs.get("Retry-After") == "1"
+            assert "error" in body
+        else:
+            assert "completion" in body
+    # the pool is healthy after the flood
+    code, body = _post(url, "/complete", {"prompt": "After", "max_tokens": 3})
+    assert code == 200 and "completion" in body
+
+
+def test_pool_runner_submit_timeout(pool_or_none=None):
+    """submit_timeout: a request that cannot finish in time raises
+    PoolTimeout (503 path) and, if still queued, is cancelled; the runner
+    keeps serving afterwards."""
+    from rwkv_tpu.apps._common import build_engine
+    from rwkv_tpu.apps.server import PoolRunner, PoolTimeout
+    from rwkv_tpu.runtime.pool import InferencePool
+
+    class A:
+        mock, model, vocab, streams = True, None, VOCAB_DIR, 1
+        temp, tau, seed = 0.9, 0.8, 0
+
+    eng = build_engine(A)
+    pool = InferencePool(eng.params, eng.tokenizer, max_streams=2,
+                         prefill_bucket=16, step_fn=eng._step_fn)
+    runner = PoolRunner(pool, submit_timeout=0.02)
+    with pytest.raises(PoolTimeout):
+        runner.submit("too slow", max_tokens=16, seed=0)
+    # a patient runner on the same pool still completes
+    runner.submit_timeout = 300.0
+    out = runner.submit("recovers", max_tokens=3, seed=1)
+    assert isinstance(out, str)
