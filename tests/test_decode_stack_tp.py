@@ -411,3 +411,30 @@ def test_tp4_pretiled_parity():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-4)
     _assert_no_races()
+
+
+@pytest.mark.slow
+def test_tp8_fused_probe_subprocess():
+    """tp=8 — the 14B north-star width: 7-peer one-shot RDMA loops that no
+    smaller tp reaches. Runs tools/tp8_probe.py in a SUBPROCESS because the
+    probe needs 16 CPU devices (device count is fixed at backend init;
+    conftest pins this process to 8): with exactly 8, the 8 interpret-mode
+    shard programs exhaust the PJRT CPU client's execution pool and their
+    _allocate_buffer D2H callbacks deadlock — see the probe's header.
+    Recorded run (2026-08-17): exec 19.2 s, parity pass, race detector
+    quiet, exactly one all-gather, zero permutes (tp8_probe_result.json)."""
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [sys.executable, str(root / "tools" / "tp8_probe.py")],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    result = json.loads((root / "tp8_probe_result.json").read_text())
+    assert result["parity"] == "pass"
+    assert result["races_found"] is False
+    assert result["collectives"] == {"all-gather": 1}

@@ -27,7 +27,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# 16 devices for an 8-device mesh — deliberate. With exactly 8 CPU devices
+# the 8 interpret-mode shard programs occupy every thread in the PJRT CPU
+# client's execution pool (sized by device count on this 1-core box), and
+# each program's _allocate_buffer io_callback then blocks in np.array(val)
+# — a D2H that needs a free pool thread — deadlocking all 8 (verified by
+# faulthandler: 8 threads parked in interpret_pallas_call._allocate_buffer).
+# tp<=4 leaves spare threads, which is why CI never sees this. Doubling the
+# device count doubles the pool; the mesh still uses devices [0:8].
+jax.config.update("jax_num_cpu_devices", 16)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
