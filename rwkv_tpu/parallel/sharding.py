@@ -104,15 +104,20 @@ def param_pspecs(params: RWKVParams, n_model: int | None = None) -> RWKVParams:
     )
 
 
-def state_pspecs(batched: bool = True) -> WKVState:
+def state_pspecs(batched: bool = True, n_model: int = 0) -> WKVState:
     """State sharding: WKV accumulators sharded on E over 'model'; token-shift
-    memories replicated over 'model'; stream dim over 'data'."""
+    memories replicated over 'model'; stream dim over 'data'.
+
+    n_model=1 drops the 'model' axis entirely: the tp=1 bodies elide every
+    model-axis collective (tp_step.py), so under check_vma nothing may be
+    typed model-varying — a 'model'-sharded spec on a 1-wide axis is the
+    same arrays but a different vma type, which breaks the scan carry."""
     if batched:
         shift = P(None, "data", None)          # [L, B, E]
-        chan = P(None, "data", "model")
+        chan = shift if n_model == 1 else P(None, "data", "model")
     else:
         shift = P(None, None)                  # [L, E]
-        chan = P(None, "model")
+        chan = shift if n_model == 1 else P(None, "model")
     return WKVState(xy=shift, aa=chan, bb=chan, pp=chan, dd=shift)
 
 

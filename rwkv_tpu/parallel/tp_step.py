@@ -80,14 +80,36 @@ def _qdot_row_partial(x_loc, lin):
 
 def _local_slice(vec_full, n_shards, axis_name):
     """This shard's channel block of a replicated per-channel vector."""
+    if n_shards == 1:
+        return vec_full
     size = vec_full.shape[-1] // n_shards
     i = jax.lax.axis_index(axis_name)
     return jax.lax.dynamic_slice_in_dim(vec_full, i * size, size, axis=-1)
 
 
-def _embed_psum(params, token, ax):
+# tp=1 collective elision (round 4): on a model=1 mesh every model-axis
+# psum/gather is an identity, but leaving them in the traced program costs
+# ~7% prefill throughput — XLA lowers the size-1 collectives to copies
+# that break fusion across each block boundary (BENCH_NOTES round-3:
+# 112.5k vs 120.4k tok/s at 430M bf16). The bodies take every collective
+# through these wrappers so a model=1 mesh traces the SAME program as the
+# plain path; param specs are replicated at tp=1 (make_tp_step /
+# make_tp_prefill) so check_vma sees nothing model-varying.
+def _psum_tp(x, ax, n_model):
+    return x if n_model == 1 else jax.lax.psum(x, ax)
+
+
+def _gather_tp(x, ax, n_model):
+    return x if n_model == 1 else _all_gather_inv(x, ax, axis=-1, tiled=True)
+
+
+def _embed_psum(params, token, ax, n_model=0):
     """Vocab-sharded embedding gather -> one psum + ln0. token: [B] for a
     decode step or [T, B] for prefill (any leading shape works)."""
+    if n_model == 1:  # full vocab resident: plain lookup, no collective
+        x = params.emb[token]
+        return layer_norm(x.astype(jnp.float32), params.ln0.weight,
+                          params.ln0.bias)
     Vl = params.emb.shape[0]  # vocab-sharded rows
     i = jax.lax.axis_index(ax)
     lo = i * Vl
@@ -102,7 +124,7 @@ def _embed_psum(params, token, ax):
 def _tp_step_local(params, token, state, *, n_model: int):
     """The per-shard body (XLA matvecs). All inputs are LOCAL shards."""
     ax = "model"
-    x = _embed_psum(params, token, ax)
+    x = _embed_psum(params, token, ax, n_model)
 
     def block(x, layer):
         (ln1, ln2, att, ffn), (xy, aa, bb, pp, dd) = layer
@@ -118,15 +140,15 @@ def _tp_step_local(params, token, state, *, n_model: int):
         y, chan = wkv_step(k, v, WKVChannelState(aa, bb, pp), w_loc, u_loc)
         rwkv = jax.nn.sigmoid(r) * y        # [B, E/tp]
         # row-parallel out-projection: offset folded, ONE psum
-        x = x + jax.lax.psum(_qdot_row_partial(rwkv, att.output), ax)
+        x = x + _psum_tp(_qdot_row_partial(rwkv, att.output), ax, n_model)
 
         xx2 = layer_norm(x, ln2.weight, ln2.bias)
         fk = ffn.mix_k * xx2 + (1 - ffn.mix_k) * dd
         fr = ffn.mix_r * xx2 + (1 - ffn.mix_r) * dd
         gate_loc = jax.nn.sigmoid(_qdot_col(fr, ffn.receptance))  # [B, E/tp]
         h = jnp.square(jax.nn.relu(_qdot_col(fk, ffn.key)))       # [B, F/tp]
-        vfull = jax.lax.psum(_qdot_row_partial(h, ffn.value), ax)  # psum 2
-        gate = _all_gather_inv(gate_loc, ax, axis=-1, tiled=True)
+        vfull = _psum_tp(_qdot_row_partial(h, ffn.value), ax, n_model)
+        gate = _gather_tp(gate_loc, ax, n_model)
         x = x + gate * vfull
         return x, WKVState(xx, chan.aa, chan.bb, chan.pp, xx2)
 
@@ -138,7 +160,7 @@ def _tp_step_local(params, token, state, *, n_model: int):
     logits_loc = _qdot_col(h, params.head)          # [B, Vp/tp]
     if params.logit_bias is not None:
         logits_loc = logits_loc + params.logit_bias
-    logits = _all_gather_inv(logits_loc, ax, axis=-1, tiled=True)
+    logits = _gather_tp(logits_loc, ax, n_model)
     return logits, WKVState(*new_state)
 
 
@@ -152,7 +174,7 @@ def _tp_step_local_pallas(params, token, state, *, n_model: int,
     from rwkv_tpu.ops.pallas.tp_halves import att_half, ffn_half
 
     ax = "model"
-    x = _embed_psum(params, token, ax)
+    x = _embed_psum(params, token, ax, n_model)
 
     A, F = params.att, params.ffn
     L = A.decay.shape[0]
@@ -177,7 +199,7 @@ def _tp_step_local_pallas(params, token, state, *, n_model: int,
         # the new token-shift memory is replicated — recomputed here (one
         # XLA fusion) rather than emitted from the model-varying kernel
         xx = layer_norm(x, params.ln1.weight[l], params.ln1.bias[l])
-        x = x + jax.lax.psum(partial, ax)               # psum 1
+        x = x + _psum_tp(partial, ax, n_model)          # psum 1
 
         vpart, gate_loc = ffn_half(
             l, x, dd,
@@ -190,8 +212,8 @@ def _tp_step_local_pallas(params, token, state, *, n_model: int,
         )
         xx2 = layer_norm(x, params.ln2.weight[l], params.ln2.bias[l])
         # independent collectives — XLA's async scheduler may overlap them
-        vfull = jax.lax.psum(vpart, ax)                 # psum 2
-        gate = _all_gather_inv(gate_loc, ax, axis=-1, tiled=True)
+        vfull = _psum_tp(vpart, ax, n_model)            # psum 2
+        gate = _gather_tp(gate_loc, ax, n_model)
         x = x + gate * vfull
         return x, WKVState(xx, aa2, bb2, pp2, xx2)
 
@@ -205,7 +227,7 @@ def _tp_step_local_pallas(params, token, state, *, n_model: int,
                   + (h @ params.head.offset)[:, None])  # [B, Vp/tp]
     if params.logit_bias is not None:
         logits_loc = logits_loc + params.logit_bias
-    logits = _all_gather_inv(logits_loc, ax, axis=-1, tiled=True)
+    logits = _gather_tp(logits_loc, ax, n_model)
     return logits, WKVState(*new_state)
 
 
@@ -225,7 +247,7 @@ def _tp_step_local_fused(params, token, state, *, n_model: int,
     if fuse:
         x = None
     else:
-        x = _embed_psum(params, token, ax)
+        x = _embed_psum(params, token, ax, n_model)
     logits_loc, new_state = decode_stack_tp(
         x, params, state, decay_loc, bonus_loc,
         tp=n_model, token=token if fuse else None, fuse_embed=fuse,
@@ -233,7 +255,7 @@ def _tp_step_local_fused(params, token, state, *, n_model: int,
     )
     if params.logit_bias is not None:
         logits_loc = logits_loc + params.logit_bias
-    logits = _all_gather_inv(logits_loc, ax, axis=-1, tiled=True)
+    logits = _gather_tp(logits_loc, ax, n_model)
     return logits, new_state
 
 
@@ -319,8 +341,13 @@ def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
     else:
         raise ValueError(
             f"unknown body {body!r} (want 'xla', 'pallas' or 'fused')")
-    pspecs = param_pspecs(params, n_model=tp)
-    sspecs = state_pspecs(batched=True)
+    # tp=1: replicated param specs — the bodies elide every model-axis
+    # collective (identity on a 1-wide axis), so nothing may be typed
+    # model-varying; on one shard "replicated" and "model-sharded" are the
+    # same arrays, so no resharding happens at the boundary.
+    pspecs = (jax.tree.map(lambda _: P(), params) if tp == 1
+              else param_pspecs(params, n_model=tp))
+    sspecs = state_pspecs(batched=True, n_model=tp)
     # check_vma stays ON for the XLA body. The Pallas bodies must disable
     # it: pallas_call's interpret-mode lowering (the virtual-mesh test
     # path) re-evaluates block fetches with mixed-vma operands and fails
@@ -358,7 +385,7 @@ def _tp_seq_local(params, tokens, state, length, *, n_model: int,
     from rwkv_tpu.ops.wkv import wkv_parallel
 
     ax = "model"
-    x = _embed_psum(params, tokens, ax)                  # [T, B, E]
+    x = _embed_psum(params, tokens, ax, n_model)         # [T, B, E]
 
     T = x.shape[0]
     mask = jnp.arange(T)[:, None] < length[None, :]      # [T, B]
@@ -378,7 +405,7 @@ def _tp_seq_local(params, tokens, state, length, *, n_model: int,
         y, chan = wkv_parallel(k, v, WKVChannelState(aa, bb, pp),
                                w_loc, u_loc, mask)
         rwkv = jax.nn.sigmoid(r) * y
-        x = x + jax.lax.psum(mm(rwkv, att.output), ax)       # psum 1
+        x = x + _psum_tp(mm(rwkv, att.output), ax, n_model)  # psum 1
         new_xy = _carry_valid(_last_valid(xx, length), xy, length)
 
         xx2 = layer_norm(x, ln2.weight, ln2.bias)
@@ -387,8 +414,8 @@ def _tp_seq_local(params, tokens, state, length, *, n_model: int,
         fr = ffn.mix_r * xx2 + (1 - ffn.mix_r) * prev2
         gate_loc = jax.nn.sigmoid(mm(fr, ffn.receptance))
         h = jnp.square(jax.nn.relu(mm(fk, ffn.key)))
-        vfull = jax.lax.psum(mm(h, ffn.value), ax)           # psum 2
-        gate = _all_gather_inv(gate_loc, ax, axis=-1, tiled=True)
+        vfull = _psum_tp(mm(h, ffn.value), ax, n_model)      # psum 2
+        gate = _gather_tp(gate_loc, ax, n_model)
         x = x + gate * vfull
         new_dd = _carry_valid(_last_valid(xx2, length), dd, length)
         return x, WKVState(new_xy, chan.aa, chan.bb, chan.pp, new_dd)
@@ -402,7 +429,7 @@ def _tp_seq_local(params, tokens, state, length, *, n_model: int,
     logits_loc = _qdot_col(h, params.head)
     if params.logit_bias is not None:
         logits_loc = logits_loc + params.logit_bias
-    logits = _all_gather_inv(logits_loc, ax, axis=-1, tiled=True)
+    logits = _gather_tp(logits_loc, ax, n_model)
     return logits, WKVState(*new_state)
 
 
@@ -418,8 +445,9 @@ def make_tp_prefill(mesh: Mesh, params: RWKVParams, *,
     V = params.emb.shape[0]
     if V % tp:
         raise ValueError(f"padded vocab {V} not divisible by model={tp}")
-    pspecs = param_pspecs(params, n_model=tp)
-    sspecs = state_pspecs(batched=True)
+    pspecs = (jax.tree.map(lambda _: P(), params) if tp == 1
+              else param_pspecs(params, n_model=tp))  # see make_tp_step
+    sspecs = state_pspecs(batched=True, n_model=tp)
     fn = functools.partial(_tp_seq_local, n_model=tp,
                            compute_dtype=compute_dtype)
     sm = jax.shard_map(

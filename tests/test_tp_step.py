@@ -286,3 +286,81 @@ def test_engine_prefill_adapter(setup):
     for a, b in zip(s_tp, s_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+# ---------------------------------------------------------------------------
+# tp=1 collective elision (round 4): a model=1 mesh must trace a
+# collective-FREE program (the size-1 psums/gathers otherwise lower to
+# copies that break XLA fusion — the round-3 7% sharded-prefill overhead),
+# and still match the plain forward bit-for-bit in semantics.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def setup_tp1():
+    mesh = make_mesh(model=1, data=2)
+    cfg = RWKVConfig.tiny_test(n_layer=3, n_embd=128, vocab_size=211)
+    params = pad_vocab(
+        quantize_params(init_params(jax.random.PRNGKey(0), cfg)), multiple=512
+    )
+    return mesh, cfg, params
+
+
+def _collective_counts(hlo):
+    counts = {}
+    pat = (r"(all-reduce|all-gather|all-to-all|collective-permute|"
+           r"reduce-scatter)(?:-start)?\(")
+    for m in re.finditer(pat, hlo):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return counts
+
+
+def test_tp1_step_elides_all_collectives(setup_tp1):
+    mesh, cfg, params = setup_tp1
+    B = 2
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray([3, 150], jnp.int32)
+    l_ref, s_ref = forward_step(params, tok, state)
+
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, params)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = step(p_sh, tok, st_sh)
+        hlo = step.lower(p_sh, tok, st_sh).compile().as_text()
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+    # the whole point: ZERO model-axis collectives in the traced program
+    assert _collective_counts(hlo) == {}, _collective_counts(hlo)
+
+
+def test_tp1_prefill_elides_all_collectives(setup_tp1):
+    """Batched engine prefill (B divisible by the data axis — the pool's
+    serving shape) must be collective-free at tp=1. (B=1 on a data>1 mesh
+    still pays genuine pad/slice data movement across 'data' — that is
+    batch distribution, not model-axis elision scope.)"""
+    from rwkv_tpu.models.rwkv4 import forward_seq
+    from rwkv_tpu.parallel.tp_step import make_engine_prefill
+
+    mesh, cfg, params = setup_tp1
+    T, B = 8, 2
+    toks = jnp.asarray(
+        np.arange(T * B).reshape(T, B) % cfg.vocab_size, jnp.int32)
+    lens = jnp.asarray([T, T - 2], jnp.int32)
+    state = init_state(cfg, (B,))
+    l_ref, s_ref = forward_seq(params, toks, state, parallel=True,
+                               length=lens)
+    p_sh = shard_params(params, mesh)
+    pre = make_engine_prefill(mesh, params)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = jax.jit(pre)(p_sh, toks, state, lens)
+        hlo = jax.jit(pre).lower(p_sh, toks, state,
+                                 lens).compile().as_text()
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=5e-4, atol=5e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+    assert _collective_counts(hlo) == {}, _collective_counts(hlo)
