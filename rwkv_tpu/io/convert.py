@@ -1,8 +1,12 @@
-"""Offline converter: RWKV-v4 .pth -> quantized checkpoint.
+"""Offline converter: RWKV-v4 .pth / .safetensors -> quantized checkpoint.
 
 Equivalent of the reference's converter/convert_model.py, minus the libtorch
 C++ serializer (io/binfmt.py writes the identical format in numpy). torch is
-imported lazily and only used to deserialize the .pth on CPU.
+imported lazily and only used to deserialize .pth pickles on CPU;
+.safetensors checkpoints (native BlinkDL names or HF-transformers
+`RwkvForCausalLM` names) are read torch-free via io/safetensors.py —
+beyond-reference scope (the reference accepts only .pth,
+convert_model.py:24).
 
 Semantics preserved:
   * decay = -exp(time_decay) baked in at convert time (convert_model.py:58)
@@ -37,11 +41,45 @@ REQUIRED_KEYS = (
 )
 
 
-def load_pth(path: str) -> RWKVParams:
-    """Read a BlinkDL RWKV-v4 .pth into dense float32 RWKVParams."""
+def _npf(t):
+    """Tensor (torch or numpy) -> float32 ndarray."""
+    if isinstance(t, np.ndarray):
+        return np.asarray(t, dtype=np.float32)
+    return np.asarray(t.float().numpy(), dtype=np.float32)
+
+
+def _tT(t):
+    """[out, in] weight (torch or numpy) -> contiguous float32 [in, out].
+    torch's blocked transpose is ~10x numpy's naive strided copy, so keep
+    torch tensors on the torch path (the converter is memory-bound)."""
+    if isinstance(t, np.ndarray):
+        return np.ascontiguousarray(np.asarray(t, np.float32).T)
+    return t.float().t().contiguous().numpy()
+
+
+def _load_weights(path: str, mmap_ok: bool = False):
+    """Open a checkpoint as a BlinkDL-keyed mapping: .safetensors via the
+    torch-free reader (HF names auto-translated), anything else as a torch
+    .pth pickle."""
+    if path.endswith(".safetensors"):
+        from rwkv_tpu.io.safetensors import open_checkpoint
+
+        return open_checkpoint(path)
     import torch
 
-    w = torch.load(path, map_location="cpu", weights_only=True)
+    if mmap_ok:
+        try:
+            return torch.load(path, map_location="cpu", weights_only=True,
+                              mmap=True)
+        except (TypeError, RuntimeError):  # pre-zipfile checkpoints: no mmap
+            pass
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def load_pth(path: str) -> RWKVParams:
+    """Read a BlinkDL RWKV-v4 .pth or .safetensors into dense float32
+    RWKVParams."""
+    w = _load_weights(path)
     missing = [k for k in REQUIRED_KEYS if k not in w]
     if missing:
         raise ValueError(f"{path}: not an RWKV-v4 checkpoint; missing {missing}")
@@ -51,8 +89,7 @@ def load_pth(path: str) -> RWKVParams:
     vocab = w["emb.weight"].shape[0]
     cfg = RWKVConfig(n_layer=n_layer, n_embd=n_embd, vocab_size=vocab)
 
-    def npf(t):
-        return np.asarray(t.float().numpy(), dtype=np.float32)
+    npf = _npf
 
     def stack(fmt, transform=npf):
         return np.stack([transform(w[fmt.format(i)]) for i in range(n_layer)])
@@ -61,9 +98,7 @@ def load_pth(path: str) -> RWKVParams:
         return stack(fmt, lambda t: npf(t).reshape(-1))
 
     def tT(name):
-        # torch's blocked transpose is ~10x numpy's naive strided copy on
-        # this workload (the converter is single-core memory-bound)
-        return w[name].float().t().contiguous().numpy()
+        return _tT(w[name])
 
     def stack_t(fmt):
         # torch Linear weight is [out, in]; our matmul layout is [in, out]:
@@ -107,6 +142,10 @@ def load_pth(path: str) -> RWKVParams:
     return params
 
 
+# .safetensors is first-class: same loader, clearer name for new callers.
+load_checkpoint = load_pth
+
+
 # .bin quant-family triplets -> (.pth key template, has layer dim)
 _FAMILIES = {
     "km":      ("blocks.{}.att.key.weight", True),
@@ -131,18 +170,13 @@ def convert(pth_path: str, out_path: str) -> None:
     as written; weight families quantize layer-by-layer directly from the
     mmap'd checkpoint. Peak host RAM ~ one quantized family (a 14B converts
     in a few GB; the reference converter keeps the whole dense state dict
-    resident)."""
-    import torch
-
+    resident). .safetensors inputs stream the same way, zero-copy from the
+    mmap'd data section, with no torch dependency at all."""
     from rwkv_tpu.io.binfmt import write_bin_streaming
     from rwkv_tpu.ops.quant import quantize
 
     print(f"loading {pth_path} (mmap) ...", file=sys.stderr)
-    try:
-        w = torch.load(pth_path, map_location="cpu", weights_only=True,
-                       mmap=True)
-    except (TypeError, RuntimeError):  # pre-zipfile checkpoints: no mmap
-        w = torch.load(pth_path, map_location="cpu", weights_only=True)
+    w = _load_weights(pth_path, mmap_ok=True)
     missing = [k for k in REQUIRED_KEYS if k not in w]
     if missing:
         raise ValueError(
@@ -152,8 +186,7 @@ def convert(pth_path: str, out_path: str) -> None:
     print(f"model: L={L} E={E} V={w['emb.weight'].shape[0]}; "
           f"converting (streaming) ...", file=sys.stderr)
 
-    def npf(t):
-        return np.asarray(t.float().numpy(), dtype=np.float32)
+    npf = _npf
 
     def stack_sq(fmt):
         return np.stack([npf(w[fmt.format(i)]).reshape(-1) for i in range(L)])
@@ -177,7 +210,7 @@ def convert(pth_path: str, out_path: str) -> None:
         if layered:
             qs = scs = ofs = None
             for i in range(L):
-                dense = w[fmt.format(i)].float().t().contiguous().numpy()
+                dense = _tT(w[fmt.format(i)])
                 q = quantize(dense, as_numpy=True)
                 if qs is None:
                     qs = np.empty((L,) + q.w.shape, np.uint8)
@@ -187,7 +220,7 @@ def convert(pth_path: str, out_path: str) -> None:
                 del dense, q
             cache[wname], cache[sname], cache[oname] = qs, scs, ofs
         else:
-            dense = w[fmt].float().t().contiguous().numpy()
+            dense = _tT(w[fmt])
             q = quantize(dense, as_numpy=True)
             cache[wname], cache[sname], cache[oname] = q.w, q.scale, q.offset
             del dense
@@ -252,23 +285,27 @@ def _pick_file_gui() -> str | None:
         return None
     root.withdraw()
     path = filedialog.askopenfilename(
-        title="Select RWKV-v4 .pth checkpoint",
-        filetypes=[("PyTorch checkpoint", "*.pth"), ("All files", "*")],
+        title="Select RWKV-v4 checkpoint",
+        filetypes=[("PyTorch checkpoint", "*.pth"),
+                   ("safetensors checkpoint", "*.safetensors"),
+                   ("All files", "*")],
     )
     root.destroy()
     return path or None
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description="Convert RWKV-v4 .pth to quantized .bin")
+    p = argparse.ArgumentParser(
+        description="Convert RWKV-v4 .pth/.safetensors to quantized .bin")
     p.add_argument("pth", nargs="?", default=None,
-                   help="input .pth checkpoint (omit to pick via GUI dialog)")
+                   help="input .pth or .safetensors checkpoint (BlinkDL or "
+                        "HF-transformers naming; omit to pick via GUI dialog)")
     p.add_argument("-o", "--out", default="model.bin", help="output .bin path")
     args = p.parse_args(argv)
     if args.pth is None:
         args.pth = _pick_file_gui()
         if args.pth is None:
-            p.error("no input .pth given and no GUI available")
+            p.error("no input checkpoint given and no GUI available")
     convert(args.pth, args.out)
 
 
