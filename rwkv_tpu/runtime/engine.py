@@ -106,11 +106,22 @@ class RWKV:
     # -- loading -------------------------------------------------------------
 
     def load_file(self, path: str, max_streams: Optional[int] = None) -> None:
-        """Load a .bin checkpoint (streaming, reference-format)."""
+        """Load a .bin checkpoint (streaming, reference-format), or a
+        .safetensors RWKV-v4 checkpoint (BlinkDL or HF-transformers naming,
+        torch-free — io/safetensors.py) quantized on the fly."""
         from rwkv_tpu.io.binfmt import read_bin
 
         if max_streams is not None:
             self.max_streams = max_streams
+        if path.endswith(".safetensors"):
+            from rwkv_tpu.io.convert import load_checkpoint
+            from rwkv_tpu.models.rwkv4 import quantize_params
+
+            # load_params applies the same pad/signedize/pretile/shard
+            # policies the .bin path gets from read_bin
+            self.load_params(quantize_params(load_checkpoint(path),
+                                             as_numpy=True))
+            return
         put = None
         # Pad to 512, not the minimal 128: 50277 -> 50688 = 128*4*9*11,
         # whose rich divisor set lets pick_head_tile choose wide head tiles

@@ -188,3 +188,26 @@ def test_load_checkpoint_safetensors_forward(tmp_path):
     lb, _ = forward_seq(pb, toks, init_state(pb.config))
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                atol=0.35, rtol=0.05)  # bf16 weight noise
+
+
+def test_engine_load_file_safetensors(tmp_path):
+    """RWKV.load_file on a .safetensors checkpoint: same logits as loading
+    the converted .bin (quantization is deterministic)."""
+    import jax
+    import numpy as np
+
+    from rwkv_tpu.io.convert import convert
+    from rwkv_tpu.runtime.engine import RWKV
+
+    w = _blinkdl_state_dict(n_layer=2, n_embd=16)
+    stp = str(tmp_path / "m.safetensors")
+    write_safetensors(stp, w)
+    binp = str(tmp_path / "m.bin")
+    convert(stp, binp)
+
+    ea = RWKV(); ea.load_file(stp)
+    eb = RWKV(); eb.load_file(binp)
+    toks = [11, 222, 3333]
+    la = np.asarray(ea.forward(list(toks)))
+    lb = np.asarray(eb.forward(list(toks)))
+    np.testing.assert_allclose(la, lb, rtol=2e-5, atol=2e-5)
