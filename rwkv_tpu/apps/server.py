@@ -34,6 +34,7 @@ import argparse
 import json
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from rwkv_tpu.apps._common import add_model_args, build_engine
@@ -95,6 +96,9 @@ class PoolRunner:
             for rid in events:
                 self._errors[rid] = msg
             self.pool.abort_all()
+            # abort_all drops in-flight requests, so abandoned rids will
+            # never surface in a finished list — clear them or they leak
+            self._abandoned.clear()
         for ev in events.values():
             ev.set()
 
@@ -130,28 +134,56 @@ class PoolRunner:
     def submit(self, prompt, on_text=None, **kw) -> str:
         """Enqueue and block until the pool finishes the request. on_text
         (optional) receives text pieces as they decode — it runs on the
-        pool's stepping thread, keep it fast."""
+        pool's stepping thread, keep it fast.
+
+        submit_timeout is honored end-to-end against a monotonic deadline:
+        the initial lock acquisition counts against it too (the stepping
+        thread holds _lock for a whole pool.step() — minutes on a cold
+        compile — and a 5 s timeout must not wait behind that)."""
+        deadline = (time.monotonic() + self.submit_timeout
+                    if self.submit_timeout is not None else None)
+
+        def remaining():
+            return (None if deadline is None
+                    else max(deadline - time.monotonic(), 0.0))
+
         ev = threading.Event()
-        with self._lock:
+        t = remaining()
+        if not self._lock.acquire(timeout=-1 if t is None else t):
+            raise PoolTimeout(
+                f"request timed out after {self.submit_timeout}s "
+                "(pool busy stepping)")
+        try:
             if len(self.pool._queue) >= self.max_queue:
                 raise PoolBusy(
                     f"admission queue full ({self.max_queue} waiting)")
             rid = self.pool.submit(prompt, on_text=on_text, **kw)
             self._events[rid] = ev
+        finally:
+            self._lock.release()
         self._wake.set()
-        if not ev.wait(self.submit_timeout):
-            with self._lock:
+        if not ev.wait(remaining()):
+            # Bounded grace for the cleanup lock: if the stepping thread
+            # is mid-compile we still owe the client its timely 503 —
+            # skip cancel_queued (the request runs, result discarded via
+            # _abandoned: GIL-atomic set ops, cleared by _fail_all).
+            got = self._lock.acquire(timeout=2.0)
+            try:
                 if ev.is_set():   # completion raced the timeout: take it
                     pass
                 else:
                     self._events.pop(rid, None)
-                    if not self.pool.cancel_queued(rid):
-                        # already admitted: let it finish, discard result
+                    if not (got and self.pool.cancel_queued(rid)):
+                        # already admitted (or lock unavailable): let it
+                        # finish, discard the result
                         self._abandoned.add(rid)
                     self._done.pop(rid, None)
                     self._errors.pop(rid, None)
                     raise PoolTimeout(
                         f"request timed out after {self.submit_timeout}s")
+            finally:
+                if got:
+                    self._lock.release()
         err = self._errors.pop(rid, None)
         if err is not None:
             raise RuntimeError(err)
@@ -282,13 +314,23 @@ def make_handler(eng, lock, runner=None):
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
 
+            # A timed-out pool submit abandons the request but the pool
+            # keeps decoding it — its on_text must become inert once this
+            # handler returns (wfile is closed then; writing to it raises
+            # ValueError, which would otherwise escape into pool.step()).
+            alive = {"v": True}
+
             def chunk(data: bytes):
+                if not alive["v"]:
+                    return False
                 try:
                     self.wfile.write(f"{len(data):X}\r\n".encode())
                     self.wfile.write(data + b"\r\n")
                     self.wfile.flush()
                     return True
-                except (BrokenPipeError, ConnectionResetError):
+                except (BrokenPipeError, ConnectionResetError, OSError,
+                        ValueError):
+                    alive["v"] = False
                     return False  # client went away; keep decoding (pool)
 
             def emit(piece: str):
@@ -306,10 +348,12 @@ def make_handler(eng, lock, runner=None):
                 chunk(b"data: " + json.dumps({"error": str(e)}).encode()
                       + b"\n\n")
             chunk(b"data: [DONE]\n\n")
+            alive["v"] = False
             try:
                 self.wfile.write(b"0\r\n\r\n")
                 self.wfile.flush()
-            except (BrokenPipeError, ConnectionResetError):
+            except (BrokenPipeError, ConnectionResetError, OSError,
+                    ValueError):
                 pass
 
     return Handler

@@ -146,6 +146,80 @@ def load_pth(path: str) -> RWKVParams:
 load_checkpoint = load_pth
 
 
+def load_checkpoint_quantized(path: str) -> RWKVParams:
+    """Quantized RWKVParams straight from a checkpoint file, streaming the
+    8 matrix families layer-by-layer from the mmap'd source: peak host RAM
+    ~ the final (quantized) pytree + ONE dense [in, out] layer, vs
+    quantize_params(load_checkpoint(...))'s two full dense-float32 copies
+    (a 14B would need ~2x56 GB host RAM that way; this loads in ~15 GB —
+    the same per-family streaming discipline as convert()). Per-layer
+    quantization is bit-identical to the whole-family call
+    (tests/test_convert.py pins it through the .bin byte-parity gate)."""
+    from rwkv_tpu.ops.quant import QuantLinear, quantize
+
+    w = _load_weights(path, mmap_ok=True)
+    missing = [k for k in REQUIRED_KEYS if k not in w]
+    if missing:
+        raise ValueError(
+            f"{path}: not an RWKV-v4 checkpoint; missing {missing}")
+    L = sum(1 for k in w if "blocks" in k and "ln1.bias" in k)
+    E = w["blocks.0.att.key.weight"].shape[1]
+    vocab = w["emb.weight"].shape[0]
+
+    npf = _npf
+
+    def stack(fmt, transform=npf):
+        return np.stack([transform(w[fmt.format(i)]) for i in range(L)])
+
+    def stack_sq(fmt):
+        return stack(fmt, lambda t: npf(t).reshape(-1))
+
+    def qfam(fmt) -> QuantLinear:
+        qs = scs = ofs = None
+        for i in range(L):
+            q = quantize(_tT(w[fmt.format(i)]), as_numpy=True)
+            if qs is None:
+                qs = np.empty((L,) + q.w.shape, np.uint8)
+                scs = np.empty((L,) + q.scale.shape, np.float32)
+                ofs = np.empty((L,) + q.offset.shape, np.float32)
+            qs[i], scs[i], ofs[i] = q.w, q.scale, q.offset
+        return QuantLinear(qs, scs, ofs)
+
+    params = RWKVParams(
+        emb=npf(w["emb.weight"]),
+        ln0=LNParams(npf(w["blocks.0.ln0.weight"]),
+                     npf(w["blocks.0.ln0.bias"])),
+        ln1=LNParams(stack("blocks.{}.ln1.weight"),
+                     stack("blocks.{}.ln1.bias")),
+        ln2=LNParams(stack("blocks.{}.ln2.weight"),
+                     stack("blocks.{}.ln2.bias")),
+        att=AttParams(
+            mix_k=stack_sq("blocks.{}.att.time_mix_k"),
+            mix_v=stack_sq("blocks.{}.att.time_mix_v"),
+            mix_r=stack_sq("blocks.{}.att.time_mix_r"),
+            key=qfam("blocks.{}.att.key.weight"),
+            value=qfam("blocks.{}.att.value.weight"),
+            receptance=qfam("blocks.{}.att.receptance.weight"),
+            output=qfam("blocks.{}.att.output.weight"),
+            decay=-np.exp(
+                stack_sq("blocks.{}.att.time_decay").astype(np.float64)
+            ).astype(np.float32),
+            bonus=stack_sq("blocks.{}.att.time_first"),
+        ),
+        ffn=FFNParams(
+            mix_k=stack_sq("blocks.{}.ffn.time_mix_k"),
+            mix_r=stack_sq("blocks.{}.ffn.time_mix_r"),
+            key=qfam("blocks.{}.ffn.key.weight"),
+            value=qfam("blocks.{}.ffn.value.weight"),
+            receptance=qfam("blocks.{}.ffn.receptance.weight"),
+        ),
+        ln_out=LNParams(npf(w["ln_out.weight"]), npf(w["ln_out.bias"])),
+        head=quantize(_tT(w["head.weight"]), as_numpy=True),
+    )
+    assert params.config == RWKVConfig(n_layer=L, n_embd=E, vocab_size=vocab)
+    return params
+
+
 # .bin quant-family triplets -> (.pth key template, has layer dim)
 _FAMILIES = {
     "km":      ("blocks.{}.att.key.weight", True),

@@ -83,13 +83,17 @@ class SafetensorsFile(Mapping):
 
     def __getitem__(self, name: str) -> np.ndarray:
         dt, shape, lo, hi = self._entries[name]
-        buf = self._mm[self._base + lo:self._base + hi]
+        # np.frombuffer over the mmap itself is the zero-copy path; a
+        # mmap slice (self._mm[a:b]) would COPY the tensor bytes.
         if dt == "BF16":
-            return _bf16_to_f32(
-                np.frombuffer(buf, "<u2")).reshape(shape)
+            raw = np.frombuffer(self._mm, "<u2", count=(hi - lo) // 2,
+                                offset=self._base + lo)
+            return _bf16_to_f32(raw).reshape(shape)
         if dt not in _DTYPES:
             raise ValueError(f"{self.path}: {name}: unsupported dtype {dt}")
-        arr = np.frombuffer(buf, _DTYPES[dt]).reshape(shape)
+        np_dt = np.dtype(_DTYPES[dt])
+        arr = np.frombuffer(self._mm, np_dt, count=(hi - lo) // np_dt.itemsize,
+                            offset=self._base + lo).reshape(shape)
         if dt == "F16":
             return arr.astype(np.float32)
         return arr

@@ -114,13 +114,13 @@ class RWKV:
         if max_streams is not None:
             self.max_streams = max_streams
         if path.endswith(".safetensors"):
-            from rwkv_tpu.io.convert import load_checkpoint
-            from rwkv_tpu.models.rwkv4 import quantize_params
+            from rwkv_tpu.io.convert import load_checkpoint_quantized
 
-            # load_params applies the same pad/signedize/pretile/shard
-            # policies the .bin path gets from read_bin
-            self.load_params(quantize_params(load_checkpoint(path),
-                                             as_numpy=True))
+            # Streaming per-family quantize (peak host RAM ~ the quantized
+            # pytree, not 2x dense float32 — a 14B stays ~15 GB);
+            # load_params then applies the same pad/signedize/pretile/shard
+            # policies the .bin path gets from read_bin.
+            self.load_params(load_checkpoint_quantized(path))
             return
         put = None
         # Pad to 512, not the minimal 128: 50277 -> 50688 = 128*4*9*11,

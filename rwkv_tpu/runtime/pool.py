@@ -353,13 +353,13 @@ class InferencePool:
                           for req in reqs])
         temps = np.asarray([req.temp for req in reqs], np.float32)
         taus = np.asarray([req.tau for req in reqs], np.float32)
-        Wb = next(w for w in self._widths if w >= n)
+        Wb = W  # same width bucket as the prefill pad above
 
         def padw(a):
             return (np.concatenate([a, np.repeat(a[:1], Wb - n, 0)], 0)
                     if Wb != n else a)
 
-        lg_stack = jnp.stack(chunk_lg[:n])
+        lg_stack = jnp.stack(chunk_lg)
         if Wb != n:
             lg_stack = jnp.concatenate(
                 [lg_stack, jnp.broadcast_to(lg_stack[:1], (Wb - n, V))], 0)
@@ -385,22 +385,38 @@ class InferencePool:
                 done_at_admit.append(self._finish(req))
         return done_at_admit
 
+    def _on_text(self, req: Request, piece: str) -> None:
+        """Deliver a text piece to the request's callback, isolating the
+        pool from callback failures: a streaming client whose socket died
+        mid-request must not take down the shared batch (the callback is
+        muted after its first exception; decoding continues and the text
+        is still assembled in req.pieces)."""
+        if req.on_text is None:
+            return
+        try:
+            req.on_text(piece)
+        except Exception as e:  # noqa: BLE001 — user callback, any error
+            import sys
+
+            metrics.inc("pool.on_text_errors")
+            print(f"[pool] on_text failed for rid={req.rid}: {e!r}; "
+                  "muting callback", file=sys.stderr)
+            req.on_text = None
+
     def _emit(self, req: Request, token: int) -> str:
         req.produced += 1
         metrics.inc("pool.tokens_decoded")  # real tokens absorbed into a
         piece = req.decoder.feed([token])   # request, not lockstep garbage
         if piece:
             req.pieces.append(piece)
-            if req.on_text:
-                req.on_text(piece)
+            self._on_text(req, piece)
         return piece
 
     def _finish(self, req: Request) -> Request:
         tail = req.decoder.flush() if req.decoder else ""
         if tail:
             req.pieces.append(tail)
-            if req.on_text:
-                req.on_text(tail)
+            self._on_text(req, tail)
             if req.scanner:
                 req.scanner.feed(tail)  # a stop may complete in the tail
         text = "".join(req.pieces)

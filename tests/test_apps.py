@@ -301,7 +301,7 @@ def test_pooled_server_backpressure(tight_pooled_server):
     assert code == 200 and "completion" in body
 
 
-def test_pool_runner_submit_timeout(pool_or_none=None):
+def test_pool_runner_submit_timeout():
     """submit_timeout: a request that cannot finish in time raises
     PoolTimeout (503 path) and, if still queued, is cancelled; the runner
     keeps serving afterwards."""

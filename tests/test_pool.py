@@ -262,3 +262,24 @@ def test_admission_burst_single_sample_dispatch(pool_setup, monkeypatch):
     assert calls["n"] == 1
     pool.run()
     assert pool.pending == 0
+
+
+def test_on_text_exception_isolated(pool_setup):
+    """A dying streaming callback (closed client socket) must not take
+    down the shared batch: the callback is muted, the request still
+    completes with its full text, and batchmates are untouched."""
+    params, tok = pool_setup
+    pool = InferencePool(params, tok, max_streams=2, prefill_bucket=16)
+    calls = {"n": 0}
+
+    def boom(piece):
+        calls["n"] += 1
+        raise ValueError("I/O operation on closed file")
+
+    rid_bad = pool.submit("Broken client", max_tokens=4, on_text=boom)
+    rid_ok = pool.submit("Healthy client", max_tokens=4, seed=3)
+    out = pool.run()
+    assert sorted(out) == sorted([rid_bad, rid_ok])
+    assert isinstance(out[rid_bad], str) and out[rid_bad]
+    assert isinstance(out[rid_ok], str) and out[rid_ok]
+    assert calls["n"] == 1  # muted after the first failure

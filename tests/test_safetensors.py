@@ -211,3 +211,22 @@ def test_engine_load_file_safetensors(tmp_path):
     la = np.asarray(ea.forward(list(toks)))
     lb = np.asarray(eb.forward(list(toks)))
     np.testing.assert_allclose(la, lb, rtol=2e-5, atol=2e-5)
+
+
+def test_load_checkpoint_quantized_matches_inmemory(tmp_path):
+    """Streaming per-family quantized load == quantize_params(dense load)
+    leaf-for-leaf (same pytree the engine's .bin path would build)."""
+    import jax
+
+    from rwkv_tpu.io.convert import load_checkpoint, load_checkpoint_quantized
+    from rwkv_tpu.models.rwkv4 import quantize_params
+
+    w = _blinkdl_state_dict(n_layer=3, n_embd=32)
+    p = str(tmp_path / "m.safetensors")
+    write_safetensors(p, w)
+    a = load_checkpoint_quantized(p)
+    b = quantize_params(load_checkpoint(p), as_numpy=True)
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
