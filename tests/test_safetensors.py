@@ -230,3 +230,35 @@ def test_load_checkpoint_quantized_matches_inmemory(tmp_path):
     assert len(la) == len(lb)
     for x, y in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_eval_cli_gate(tmp_path, capsys):
+    """rwkv-tpu-eval: quant ppl + dense-vs-quant gate on a safetensors
+    checkpoint; exit codes follow the gate."""
+    import os
+
+    from rwkv_tpu.eval.cli import main
+
+    w = _blinkdl_state_dict(n_layer=2, n_embd=16)
+    stp = str(tmp_path / "m.safetensors")
+    write_safetensors(stp, w)
+    txt = str(tmp_path / "eval.txt")
+    with open(txt, "w") as f:
+        f.write("The quick brown fox jumps over the lazy dog. " * 8)
+
+    vocab = "/root/reference/include/rwkv/tokenizer/vocab"
+    if not os.path.isdir(vocab):
+        vocab = None
+    args = ["--model", stp, "--text", txt, "--chunk", "32"]
+    if vocab:
+        args += ["--vocab", vocab]
+
+    rc = main(args + ["--gate", "1e9"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["gate_passed"] is True
+    assert out["tokens"] > 10 and out["quant_ppl"] > 0
+    assert "dense_ppl" in out and "ppl_delta" in out
+
+    rc = main(args + ["--gate=-1e9"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["gate_passed"] is False
