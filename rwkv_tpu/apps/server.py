@@ -77,8 +77,25 @@ class PoolRunner:
         self._errors: dict[int, str] = {}
         self._events: dict[int, threading.Event] = {}
         self._abandoned: set[int] = set()
+        self._closed = False
         t = threading.Thread(target=self._loop, daemon=True)
         t.start()
+
+    def drain(self, timeout: float | None = None) -> bool:
+        """Graceful shutdown: stop accepting new requests (submit raises
+        PoolBusy) and wait until queued + in-flight work finishes. Returns
+        False if the pool did not empty within timeout."""
+        self._closed = True
+        deadline = (None if timeout is None
+                    else time.monotonic() + timeout)
+        while True:
+            with self._lock:
+                if self.pool.pending == 0:
+                    return True
+            if deadline is not None and time.monotonic() >= deadline:
+                return False
+            self._wake.set()
+            time.sleep(0.05)
 
     def _fail_all(self, msg: str):
         """A step blew up: deliver any generations that actually COMPLETED
@@ -154,6 +171,8 @@ class PoolRunner:
                 f"request timed out after {self.submit_timeout}s "
                 "(pool busy stepping)")
         try:
+            if self._closed:
+                raise PoolBusy("server draining")
             if len(self.pool._queue) >= self.max_queue:
                 raise PoolBusy(
                     f"admission queue full ({self.max_queue} waiting)")
@@ -375,6 +394,9 @@ def main(argv=None):
     p.add_argument("--pool-timeout", type=float, default=None, metavar="S",
                    help="max seconds a request may wait end-to-end before "
                         "503 (default: unlimited)")
+    p.add_argument("--drain-grace", type=float, default=30.0, metavar="S",
+                   help="seconds to let in-flight pool requests finish on "
+                        "SIGTERM/SIGINT before exiting")
     args = p.parse_args(argv)
 
     if args.pool > 0:
@@ -403,10 +425,29 @@ def main(argv=None):
     srv = ThreadingHTTPServer((args.host, args.port),
                               make_handler(eng, lock, runner))
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
+
+    # graceful shutdown: SIGTERM/SIGINT stop accepting, then drain the
+    # pool so in-flight generations finish before the process exits
+    import signal
+
+    def _sig(_s, _f):
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _sig)
+    except ValueError:  # non-main thread (tests)
+        pass
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
+    finally:
+        if runner is not None:
+            print("draining pool ...", file=sys.stderr)
+            ok = runner.drain(args.drain_grace)
+            print("drained" if ok else
+                  f"drain timed out after {args.drain_grace}s",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

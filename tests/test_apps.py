@@ -323,3 +323,44 @@ def test_pool_runner_submit_timeout():
     runner.submit_timeout = 300.0
     out = runner.submit("recovers", max_tokens=3, seed=1)
     assert isinstance(out, str)
+
+
+def test_pool_runner_drain(pooled_runner_setup=None):
+    """drain(): in-flight requests finish, then new submits are refused."""
+    from rwkv_tpu.apps._common import build_engine
+    from rwkv_tpu.apps.server import PoolBusy, PoolRunner
+    from rwkv_tpu.runtime.pool import InferencePool
+
+    class A:
+        mock, model, vocab, streams = True, None, VOCAB_DIR, 1
+        temp, tau, seed = 0.9, 0.8, 0
+
+    eng = build_engine(A)
+    pool = InferencePool(eng.params, eng.tokenizer, max_streams=2,
+                         prefill_bucket=16, step_fn=eng._step_fn)
+    runner = PoolRunner(pool)
+    results = {}
+
+    def hit(i):
+        results[i] = runner.submit(f"Drain test {i}", max_tokens=3, seed=i)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    # drain cuts off NEW submissions — wait until all 3 are enqueued
+    # (in _events) or already finished (in results) before draining
+    import time as _time
+
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        with runner._lock:
+            if len(runner._events) + len(results) >= 3:
+                break
+        _time.sleep(0.02)
+    assert runner.drain(timeout=120), "pool did not empty"
+    for t in threads:
+        t.join(timeout=10)
+    assert len(results) == 3
+    assert all(isinstance(v, str) for v in results.values())
+    with pytest.raises(PoolBusy, match="draining"):
+        runner.submit("too late", max_tokens=2)
