@@ -13,7 +13,8 @@ DEFAULT_VOCAB = os.environ.get("RWKV_TPU_VOCAB")
 
 def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default=os.environ.get("MODEL_PATH"),
-                   help="path to a .bin checkpoint (reference format)")
+                   help="path to a .bin checkpoint (reference format) or a "
+                        ".safetensors RWKV-v4 checkpoint (quantized on load)")
     p.add_argument("--vocab", default=DEFAULT_VOCAB,
                    help="dir with vocab.json + merges.txt "
                         "(default: the bundled 50,277-entry vocab)")
