@@ -83,19 +83,29 @@ class PoolRunner:
 
     def drain(self, timeout: float | None = None) -> bool:
         """Graceful shutdown: stop accepting new requests (submit raises
-        PoolBusy) and wait until queued + in-flight work finishes. Returns
-        False if the pool did not empty within timeout."""
+        PoolBusy) and wait until queued + in-flight work finishes AND every
+        waiting submit() has been signaled. Returns False if the pool did
+        not empty within timeout.
+
+        pending == 0 alone is not enough: the last request can finish
+        inside pool.step() while _loop still holds _lock — its waiter has
+        not been ev.set() yet, and exiting then would kill the daemon
+        handler threads before they write their 200 bodies. Wait for
+        _events to empty too, then give the (daemon) HTTP handler threads
+        a beat to flush their responses."""
         self._closed = True
         deadline = (None if timeout is None
                     else time.monotonic() + timeout)
         while True:
             with self._lock:
-                if self.pool.pending == 0:
-                    return True
+                if self.pool.pending == 0 and not self._events:
+                    break
             if deadline is not None and time.monotonic() >= deadline:
                 return False
             self._wake.set()
             time.sleep(0.05)
+        time.sleep(0.25)  # let signaled handler threads write their bodies
+        return True
 
     def _fail_all(self, msg: str):
         """A step blew up: deliver any generations that actually COMPLETED
@@ -105,8 +115,10 @@ class PoolRunner:
         with self._lock:
             done = self.pool.take_finished_backlog()
             for req in done:
-                self._done[req.rid] = req.text
                 ev = self._events.pop(req.rid, None)
+                if req.rid in self._abandoned:  # timed-out client gone
+                    continue
+                self._done[req.rid] = req.text
                 if ev:
                     ev.set()
             events, self._events = self._events, {}
@@ -130,12 +142,19 @@ class PoolRunner:
                 self._fail_all(f"pool step failed: {e}")
                 continue
             with self._lock:
+                # reconcile the lockless-timeout race: submit()'s got=False
+                # path can mark a rid abandoned AFTER this block already
+                # delivered its completion — reclaim the orphaned text here
+                for rid in list(self._done.keys() & self._abandoned):
+                    self._done.pop(rid, None)
+                    self._abandoned.discard(rid)
+                    self._events.pop(rid, None)
                 for req in finished:
+                    ev = self._events.pop(req.rid, None)
                     if req.rid in self._abandoned:  # timed-out client gone
                         self._abandoned.discard(req.rid)
                         continue
                     self._done[req.rid] = req.text
-                    ev = self._events.pop(req.rid, None)
                     if ev:
                         ev.set()
             if not busy:
@@ -143,10 +162,12 @@ class PoolRunner:
                 self._wake.clear()
 
     def would_block(self) -> bool:
-        """True when a submit() right now would be rejected (queue full) —
-        lets the streaming endpoint refuse BEFORE sending 200 headers."""
+        """True when a submit() right now would be rejected (queue full or
+        draining) — lets the streaming endpoint refuse with a clean 503
+        BEFORE sending 200 + SSE headers (a load balancer doing connection
+        draining must see the 503, not a 200 with an error event)."""
         with self._lock:
-            return len(self.pool._queue) >= self.max_queue
+            return self._closed or len(self.pool._queue) >= self.max_queue
 
     def submit(self, prompt, on_text=None, **kw) -> str:
         """Enqueue and block until the pool finishes the request. on_text
@@ -183,21 +204,41 @@ class PoolRunner:
         self._wake.set()
         if not ev.wait(remaining()):
             # Bounded grace for the cleanup lock: if the stepping thread
-            # is mid-compile we still owe the client its timely 503 —
-            # skip cancel_queued (the request runs, result discarded via
-            # _abandoned: GIL-atomic set ops, cleared by _fail_all).
+            # is mid-compile we still owe the client its timely 503.
             got = self._lock.acquire(timeout=2.0)
             try:
-                if ev.is_set():   # completion raced the timeout: take it
-                    pass
+                if got:
+                    # authoritative cleanup under the lock
+                    if not ev.is_set():
+                        self._events.pop(rid, None)
+                        if not self.pool.cancel_queued(rid):
+                            # already admitted: let it finish, discard
+                            self._abandoned.add(rid)
+                        self._done.pop(rid, None)
+                        self._errors.pop(rid, None)
+                        raise PoolTimeout(
+                            f"request timed out after "
+                            f"{self.submit_timeout}s")
+                    # else: completion raced the timeout — take it below
                 else:
+                    # Lock unavailable (stepping thread mid-compile): only
+                    # GIL-atomic ops here — mark abandoned, then re-check
+                    # whether delivery won the race. A torn interleaving
+                    # (delivery lands after the is_set check) leaves the
+                    # text orphaned in _done; _loop's stale sweep reclaims
+                    # it on its next pass.
+                    self._abandoned.add(rid)
+                    if ev.is_set():  # delivery raced the timeout: take it
+                        self._abandoned.discard(rid)
+                        err = self._errors.pop(rid, None)
+                        if err is not None:
+                            raise RuntimeError(err)
+                        out = self._done.pop(rid, None)
+                        if out is not None:
+                            return out
+                        # _loop's sweep won the double race — treat as
+                        # timed out (the result is gone either way)
                     self._events.pop(rid, None)
-                    if not (got and self.pool.cancel_queued(rid)):
-                        # already admitted (or lock unavailable): let it
-                        # finish, discard the result
-                        self._abandoned.add(rid)
-                    self._done.pop(rid, None)
-                    self._errors.pop(rid, None)
                     raise PoolTimeout(
                         f"request timed out after {self.submit_timeout}s")
             finally:

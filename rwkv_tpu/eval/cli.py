@@ -39,6 +39,10 @@ def main(argv=None) -> int:
                    help="also eval the dense weights; fail (exit 1) if "
                         "ppl(quant)-ppl(dense) > DELTA")
     args = p.parse_args(argv)
+    if args.gate is not None and args.model.endswith(".bin"):
+        # argv-decidable: reject before the (potentially multi-GB) load
+        p.error("--gate needs the dense weights: use the .pth/"
+                ".safetensors checkpoint, not the quantized .bin")
 
     import jax.numpy as jnp
 
@@ -57,9 +61,6 @@ def main(argv=None) -> int:
         from rwkv_tpu.io.binfmt import read_bin
 
         qparams = read_bin(args.model)
-        if args.gate is not None:
-            p.error("--gate needs the dense weights: use the .pth/"
-                    ".safetensors checkpoint, not the quantized .bin")
     else:
         from rwkv_tpu.io.convert import load_checkpoint_quantized
 

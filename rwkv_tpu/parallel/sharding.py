@@ -129,7 +129,10 @@ def shard_params(params: RWKVParams, mesh: Mesh) -> RWKVParams:
 
 
 def shard_state(state: WKVState, mesh: Mesh, batched: bool = True) -> WKVState:
-    specs = state_pspecs(batched)
+    # n_model from the mesh (like shard_params): a model=1 mesh must get
+    # 'model'-free specs so the tp=1 collective-elided bodies type-check
+    # under check_vma (see state_pspecs).
+    specs = state_pspecs(batched, n_model=mesh.shape["model"])
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
     )

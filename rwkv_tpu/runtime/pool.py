@@ -33,6 +33,19 @@ from rwkv_tpu.utils.text import StopScanner
 from rwkv_tpu.tokenizer.bpe import BPETokenizer, StreamDecoder
 
 
+def prng_key_np(seed: int) -> np.ndarray:
+    """`jax.random.PRNGKey(seed)` materialized host-side with ZERO device
+    dispatches: the threefry2x32 key layout is the seed's int64 bits split
+    as [hi32, lo32] uint32 (pinned against jax in tests/test_pool.py).
+    On the tunneled TPU each PRNGKey round-trip costs the ~30 ms dispatch
+    floor — an admission burst must not pay it per request."""
+    bits = int(seed) & 0xFFFFFFFFFFFFFFFF  # two's complement, like int64
+    if not jax.config.jax_enable_x64:      # x32 mode truncates the seed
+        bits &= 0xFFFFFFFF
+    return np.array([(bits >> 32) & 0xFFFFFFFF, bits & 0xFFFFFFFF],
+                    np.uint32)
+
+
 @dataclasses.dataclass
 class Request:
     rid: int
@@ -116,9 +129,7 @@ class InferencePool:
         self._state = init_state(self.cfg, (self.B,))
         self._tokens = np.zeros((self.B,), np.int32)
         self._active = np.zeros((self.B,), bool)
-        self._keys = np.stack(
-            [np.asarray(jax.random.PRNGKey(i)) for i in range(self.B)]
-        )
+        self._keys = np.stack([prng_key_np(i) for i in range(self.B)])
         self._temp = np.full((self.B,), 1.0, np.float32)
         self._tau = np.full((self.B,), 0.8, np.float32)
         # per-slot banned-token mask at the padded vocab width (set from
@@ -349,8 +360,7 @@ class InferencePool:
         for b, req in enumerate(reqs):
             for t in req.ban_tokens:
                 rows[b, t] = True
-        keys0 = np.stack([np.asarray(jax.random.PRNGKey(req.seed))
-                          for req in reqs])
+        keys0 = np.stack([prng_key_np(req.seed) for req in reqs])
         temps = np.asarray([req.temp for req in reqs], np.float32)
         taus = np.asarray([req.tau for req in reqs], np.float32)
         Wb = W  # same width bucket as the prefill pad above

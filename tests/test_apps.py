@@ -364,3 +364,23 @@ def test_pool_runner_drain(pooled_runner_setup=None):
     assert all(isinstance(v, str) for v in results.values())
     with pytest.raises(PoolBusy, match="draining"):
         runner.submit("too late", max_tokens=2)
+
+
+def test_pool_runner_would_block_during_drain():
+    """Draining runner reports would_block() so the streaming endpoint
+    refuses with a clean 503 instead of 200 + SSE error payload."""
+    from rwkv_tpu.apps._common import build_engine
+    from rwkv_tpu.apps.server import PoolRunner
+    from rwkv_tpu.runtime.pool import InferencePool
+
+    class A:
+        mock, model, vocab, streams = True, None, VOCAB_DIR, 1
+        temp, tau, seed = 0.9, 0.8, 0
+
+    eng = build_engine(A)
+    pool = InferencePool(eng.params, eng.tokenizer, max_streams=2,
+                         prefill_bucket=16, step_fn=eng._step_fn)
+    runner = PoolRunner(pool)
+    assert runner.would_block() is False
+    assert runner.drain(timeout=30)
+    assert runner.would_block() is True

@@ -283,3 +283,15 @@ def test_on_text_exception_isolated(pool_setup):
     assert isinstance(out[rid_bad], str) and out[rid_bad]
     assert isinstance(out[rid_ok], str) and out[rid_ok]
     assert calls["n"] == 1  # muted after the first failure
+
+
+def test_prng_key_np_matches_jax():
+    """Host-side threefry key layout pin: prng_key_np must equal
+    jax.random.PRNGKey bit-for-bit — admission builds burst keys with
+    ZERO device dispatches on the strength of this layout."""
+    from rwkv_tpu.runtime.pool import prng_key_np
+
+    for s in [0, 1, 42, 123456789, 2**31 - 1, 2**31, 2**32 + 5,
+              2**63 - 1, -1, -123456]:
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.PRNGKey(s)), prng_key_np(s), str(s))

@@ -262,3 +262,19 @@ def test_eval_cli_gate(tmp_path, capsys):
     rc = main(args + ["--gate=-1e9"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and out["gate_passed"] is False
+
+
+def test_eval_cli_gate_bin_rejected_before_load(tmp_path, monkeypatch):
+    """--gate with a .bin input is argv-decidable: reject BEFORE read_bin
+    materializes a (potentially multi-GB) checkpoint."""
+    import rwkv_tpu.io.binfmt as binfmt
+    from rwkv_tpu.eval.cli import main
+
+    def boom(*a, **k):
+        raise AssertionError("read_bin must not run for --gate + .bin")
+
+    monkeypatch.setattr(binfmt, "read_bin", boom)
+    with pytest.raises(SystemExit) as e:
+        main(["--model", str(tmp_path / "m.bin"), "--text",
+              str(tmp_path / "missing.txt"), "--gate", "0.05"])
+    assert e.value.code == 2

@@ -197,3 +197,16 @@ def test_sharded_step_collective_count_pinned():
     assert counts.get("all-reduce", 0) <= 4 * L + 4, counts
     assert counts.get("all-gather", 0) <= 2 * L + 4, counts
     assert counts.get("all-to-all", 0) + counts.get("reduce-scatter", 0) <= 2, counts
+
+
+def test_shard_state_tp1_drops_model_axis(model):
+    """shard_state on a model=1 mesh must emit 'model'-free specs, like
+    state_pspecs(n_model=1): the tp=1 collective-elided bodies reject
+    model-varying state types under check_vma (tp_step.py tp=1 rule)."""
+    cfg, _ = model
+    mesh = make_mesh(model=1, data=2)
+    st = shard_state(init_state(cfg, (2,)), mesh, batched=True)
+    for leaf in jax.tree.leaves(st):
+        for ax in leaf.sharding.spec:
+            axes = ax if isinstance(ax, tuple) else (ax,)
+            assert "model" not in axes, leaf.sharding.spec

@@ -12,6 +12,11 @@
 #   3. bench.py default — 430M fused decode headline regression point.
 set -u
 cd "$(dirname "$0")/.."
+# python script runs put the SCRIPT dir on sys.path, not cwd — the repo
+# root must be added explicitly, PRESERVING the existing PYTHONPATH
+# (/root/.axon_site is how the axon TPU plugin loads; clobbering it
+# downgrades jax to 'unknown backend axon').
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 mkdir -p runbook_out
 stamp=$(date -u +%Y%m%dT%H%M%SZ)
 
