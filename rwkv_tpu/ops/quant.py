@@ -125,6 +125,114 @@ def dequantize(q: QuantLinear, dtype=jnp.float32) -> jax.Array:
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Quant4Linear:
+    """A 4-bit weight-only quantized linear layer, y = x @ dequant4(wp).
+
+    No reference analog (the reference converter is Q8_0-only,
+    converter/convert_model.py:108-119) — this is the beyond-parity
+    format: decode is weight-HBM-bound, so 4 bits halve bytes/token.
+
+    Storage is SIGNED-CENTERED and nibble-packed for the TPU kernel
+    (ops/pallas/mm4.py): wp [..., K/2, O] int8 holds two codes per byte,
+    split-half along K (low nibble = rows [0,K/2) as unsigned q, high
+    nibble = rows [K/2,K) as two's-complement q-8); `offset` already
+    includes the +8*scale re-centering (the Q4 analog of to_signed).
+    May carry a leading stacked-layer dim like QuantLinear.
+    """
+
+    wp: jax.Array      # int8, [..., K/2, O] nibble-packed
+    scale: jax.Array   # float32, [..., K]
+    offset: jax.Array  # float32, [..., K] (includes +8*scale centering)
+
+    @property
+    def in_features(self) -> int:
+        return self.wp.shape[-2] * 2
+
+    @property
+    def out_features(self) -> int:
+        return self.wp.shape[-1]
+
+
+def quantize4(w: jax.Array | np.ndarray, *, as_numpy: bool = False
+              ) -> Quant4Linear:
+    """Quantize a dense [..., K, O] weight to 4-bit Quant4Linear.
+
+    Per-input-channel affine over 16 levels with round-to-nearest and the
+    same mean-fractional-residue zero-point refinement as quantize();
+    packing layout documented on Quant4Linear / ops/pallas/mm4.py."""
+    x = np.asarray(w)
+    K = x.shape[-2]
+    assert K % 2 == 0, f"K={K} must be even for nibble packing"
+    o = x.min(axis=-1).astype(np.float64)   # [..., K]
+    span = x.max(axis=-1).astype(np.float64) - o
+    r = np.where(span > 0, span, 15.0) / 15.0
+    codes = np.empty(x.shape, np.uint8)
+    fmean = np.empty(o.shape, np.float64)
+    for idx in (np.ndindex(x.shape[:-2]) if x.ndim > 2 else [()]):
+        q = (x[idx] - o[idx][..., None]) / r[idx][..., None]
+        qr = np.clip(np.rint(q), 0, 15)
+        codes[idx] = qr.astype(np.uint8)
+        fmean[idx] = (q - qr).mean(axis=-1)
+    o = o + fmean * r + 8.0 * r             # signed centering folded in
+    lo = codes[..., : K // 2, :]                      # unsigned q
+    hi = (codes[..., K // 2:, :] - 8) & 0xF           # two's-compl. q-8
+    packed = ((hi << 4) | lo).astype(np.uint8).view(np.int8)
+    if as_numpy:
+        return Quant4Linear(wp=packed, scale=r.astype(np.float32),
+                            offset=o.astype(np.float32))
+    return Quant4Linear(
+        wp=jnp.asarray(packed),
+        scale=jnp.asarray(r, dtype=jnp.float32),
+        offset=jnp.asarray(o, dtype=jnp.float32),
+    )
+
+
+def unpack4(wp: jax.Array) -> jax.Array:
+    """Centered int32 weights [-8, 7] from the packed [..., K/2, O] int8.
+
+    XLA path (tests / prefill); the Pallas kernel unpacks in-register with
+    the shift-free trick (ops/pallas/mm4.py docstring)."""
+    p32 = wp.astype(jnp.int32)              # sign-extends
+    low = p32 & 0xF
+    w_lo = low - 8                          # rows [0, K/2)
+    w_hi = (p32 - low) >> 4                 # exact: 16*(q-8) / 16
+    return jnp.concatenate([w_lo, w_hi], axis=-2)
+
+
+def dequantize4(q: Quant4Linear, dtype=jnp.float32) -> jax.Array:
+    """Materialize the dense weight (tests/debug only)."""
+    return (
+        unpack4(q.wp).astype(dtype) * q.scale[..., None].astype(dtype)
+        + q.offset[..., None].astype(dtype)
+    )
+
+
+def q4matmul(
+    x: jax.Array,
+    q: Quant4Linear,
+    *,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """y = x @ dequant4(q) via the rank-1 decomposition (XLA path).
+
+    x: [..., K]. Returns [..., O] float32. Same identity as qmatmul:
+    y = (x*r) @ centered + x . offset."""
+    xs = (x * q.scale).astype(compute_dtype)
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    w = unpack4(q.wp).astype(compute_dtype)
+    main = jax.lax.dot_general(
+        xs, w,
+        dimension_numbers=(((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    off = jnp.einsum("...i,...i->...", x, q.offset)[..., None]
+    return (main + off).astype(jnp.float32)
+
+
 def qmatmul(
     x: jax.Array,
     q: QuantLinear,

@@ -3,7 +3,16 @@
 import jax.numpy as jnp
 import numpy as np
 
-from rwkv_tpu.ops.quant import QuantLinear, dequantize, qmatmul, quantize
+from rwkv_tpu.ops.quant import (
+    QuantLinear,
+    dequantize,
+    dequantize4,
+    q4matmul,
+    qmatmul,
+    quantize,
+    quantize4,
+    unpack4,
+)
 
 
 def test_roundtrip_error_bound(rng):
@@ -54,6 +63,77 @@ def test_qmatmul_stacked_layer_dim(rng):
     y = np.asarray(qmatmul(jnp.asarray(x), q0))
     y_ref = x @ np.asarray(dequantize(q0))
     np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_q4_roundtrip_error_bound(rng):
+    w = rng.normal(size=(64, 48)).astype(np.float32)
+    q = quantize4(w)
+    deq = np.asarray(dequantize4(q))
+    # per-input-channel 4-bit: error <= one quant bucket = range/15
+    span = w.max(axis=1) - w.min(axis=1)
+    bucket = span / 15.0
+    err = np.abs(deq - w)
+    assert (err <= bucket[:, None] + 1e-6).all()
+
+
+def test_q4_zero_point_refinement(rng):
+    w = rng.normal(size=(32, 512)).astype(np.float32)
+    q = quantize4(w)
+    deq = np.asarray(dequantize4(q))
+    per_channel_bias = (deq - w).mean(axis=1)
+    bucket = (w.max(axis=1) - w.min(axis=1)) / 15.0
+    assert (np.abs(per_channel_bias) < 0.02 * bucket).all()
+
+
+def test_q4_unpack_range_and_packing(rng):
+    """Codes land in [-8, 7]; the split-half nibble layout is invertible."""
+    w = rng.normal(size=(16, 24)).astype(np.float32)
+    q = quantize4(w)
+    assert q.wp.shape == (8, 24) and q.wp.dtype == jnp.int8
+    u = np.asarray(unpack4(q.wp))
+    assert u.shape == (16, 24)
+    assert u.min() >= -8 and u.max() <= 7
+
+
+def test_q4matmul_equals_dense_on_dequant(rng):
+    x = rng.normal(size=(5, 64)).astype(np.float32)
+    w = rng.normal(size=(64, 48)).astype(np.float32)
+    q = quantize4(w)
+    y_fast = np.asarray(q4matmul(jnp.asarray(x), q))
+    y_ref = x @ np.asarray(dequantize4(q))
+    np.testing.assert_allclose(y_fast, y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_q4_stacked_layer_dim(rng):
+    from rwkv_tpu.ops.quant import Quant4Linear
+
+    w = rng.normal(size=(3, 16, 24)).astype(np.float32)
+    q = quantize4(w)
+    assert q.wp.shape == (3, 8, 24)
+    assert q.scale.shape == (3, 16)
+    q0 = Quant4Linear(wp=q.wp[0], scale=q.scale[0], offset=q.offset[0])
+    x = rng.normal(size=(16,)).astype(np.float32)
+    y = np.asarray(q4matmul(jnp.asarray(x), q0))
+    y_ref = x @ np.asarray(dequantize4(q0))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_mm4_pallas_variants_match_oracle(rng):
+    """Both in-kernel unpack strategies (interpret mode) vs the dense
+    oracle; two_dot is the production variant (measured at the 2x HBM
+    roofline vs mm8 — BENCH_NOTES round-4)."""
+    from rwkv_tpu.ops.pallas.mm4 import qmatmul4_pallas
+
+    x = jnp.asarray(rng.normal(size=(3, 512)).astype(np.float32))
+    w = rng.normal(size=(512, 384)).astype(np.float32)
+    q = quantize4(w)
+    ref = np.asarray(jnp.asarray(x) @ dequantize4(q))
+    scale = np.abs(ref).max()
+    for variant in ("unpack", "two_dot"):
+        y = np.asarray(
+            qmatmul4_pallas(x, q, interpret=True, variant=variant))
+        rel = np.abs(y - ref).max() / scale
+        assert rel < 5e-3, (variant, rel)  # bf16-rounded LHS
 
 
 def test_quant_against_reference_formula(rng):

@@ -43,14 +43,22 @@ def slope(fn1, fn2, reps):
     return max(timeit(fn2, reps) - timeit(fn1, reps), 1e-9)
 
 
+def _mk_w(shape, dt):
+    # jnp.zeros(..., int4) hits a client-side RecursionError on the axon
+    # plugin; int8 -> astype(int4) on device works (measured 2026-08-17).
+    if dt == jnp.int4:
+        return jax.jit(lambda x: x.astype(jnp.int4))(jnp.ones(shape, jnp.int8))
+    return jnp.ones(shape, dt)
+
+
 def xla_matvec_probe(E, reps):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (1, E), jnp.bfloat16)
     out = {}
     for name, dt in (("int8", jnp.int8), ("int4", jnp.int4)):
         try:
-            w1 = jnp.zeros((E, E), dt)
-            w2 = jnp.zeros((E, 2 * E), dt)
+            w1 = _mk_w((E, E), dt)
+            w2 = _mk_w((E, 2 * E), dt)
 
             @jax.jit
             def mv(x, w):
@@ -82,7 +90,7 @@ def pallas_int4_probe(E, reps):
             x = jnp.ones((1, E), jnp.bfloat16)
 
             def run(n_out, dt=dt):
-                w = jnp.zeros((E, n_out), dt)
+                w = _mk_w((E, n_out), dt)
                 f = pl.pallas_call(
                     kern,
                     out_shape=jax.ShapeDtypeStruct((1, n_out), jnp.float32),
@@ -111,10 +119,12 @@ def pallas_packed_u8_probe(E, reps):
     from jax.experimental import pallas as pl
 
     def kern(x_ref, w_ref, o_ref):
-        p = w_ref[...]                       # [E/2, 128] int8 (bit pattern)
-        lo = (p & 0xF).astype(jnp.int8)      # rows [0, E/2)
-        hi = ((p >> 4) & 0xF).astype(jnp.int8)  # rows [E/2, E)
-        w = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16) - 8.0
+        # int8 >> crashes the Mosaic compiler (remote HTTP 500, measured
+        # 2026-08-17); widen to int32 for the bit ops, then narrow.
+        p = w_ref[...].astype(jnp.int32)     # [E/2, 128] nibble-packed
+        lo = (p & 0xF) - 8                   # rows [0, E/2), signed
+        hi = ((p >> 4) & 0xF) - 8            # rows [E/2, E)
+        w = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
         o_ref[...] = jnp.dot(x_ref[...], w,
                              preferred_element_type=jnp.float32)
 
@@ -122,7 +132,7 @@ def pallas_packed_u8_probe(E, reps):
         x = jnp.ones((1, E), jnp.bfloat16)
 
         def run(n_out):
-            w = jnp.zeros((E // 2, n_out), jnp.int8)
+            w = jnp.ones((E // 2, n_out), jnp.int8)
             f = pl.pallas_call(
                 kern,
                 out_shape=jax.ShapeDtypeStruct((1, n_out), jnp.float32),
