@@ -12,6 +12,9 @@ Env knobs:
   RWKV_TPU_BENCH_STEPS  — decode steps per timed repetition (default 256)
   RWKV_TPU_BENCH_BIN    — optional path to a real .bin checkpoint
   RWKV_TPU_BENCH_IMPL   — 'fused' (Pallas decode-stack kernel, default),
+                          'fused_q4' (same kernel on 4-bit nibble-packed
+                          weights: half the HBM bytes/token — the
+                          beyond-reference format, ops/pallas/mm4.py),
                           'fused_a8' (native s8xs8 MXU, no widening pass;
                           adds activation-quant noise),
                           'xla' (plain jnp forward_step),
@@ -176,7 +179,11 @@ def main():
         # fabricate directly in the kernel's contiguous-block layout when
         # benching the fused kernel (avoids a transient 2x-family copy)
         ptile = None
-        if impl in ("fused", "fused_a8") and mode_env != "prefill":
+        if impl == "fused_q4" and mode_env != "prefill":
+            from rwkv_tpu.ops.pallas.decode_stack import pick_tile_q4
+
+            ptile = tile if tile else pick_tile_q4(cfg.n_embd)
+        elif impl in ("fused", "fused_a8") and mode_env != "prefill":
             from rwkv_tpu.ops.pallas.decode_stack import pick_tile
 
             ptile = tile if tile else pick_tile(cfg.n_embd)
@@ -197,7 +204,9 @@ def main():
                 bp = max(8, -(-batch // 8) * 8)
                 ptile = tile if tile else pick_tp_fused_tile(
                     cfg.n_embd, cfg.n_embd, 1, bp=bp)
-        params = random_quantized_params_device(cfg, seed=0, pretile=ptile)
+        params = random_quantized_params_device(
+            cfg, seed=0, pretile=ptile,
+            q4=(impl == "fused_q4"), q4_tile=ptile)
 
     state = init_state(cfg, (batch,)) if batch > 1 else init_state(cfg)
 
@@ -206,17 +215,20 @@ def main():
         bench_prefill(cfg, params, name)
         return
 
-    if impl in ("fused", "fused_a8"):
+    if impl in ("fused", "fused_a8", "fused_q4"):
         import functools
 
         from rwkv_tpu.models.rwkv4 import signedize_params
         from rwkv_tpu.ops.pallas.decode_stack import (forward_step_fused,
                                                       pretile_params)
 
-        params = signedize_params(params)
-        if params.att.key.w.ndim != 4:  # .bin path: not yet pretiled
-            params = pretile_params(params, tile=tile)
+        params = signedize_params(params)  # q4 leaves pass through untouched
+        k = params.att.key
+        if (k.wp if hasattr(k, "wp") else k.w).ndim != 4:
+            params = pretile_params(params, tile=tile)  # .bin: not pretiled
+        ht_env = os.environ.get("RWKV_TPU_BENCH_HEAD_TILE")
         step_fn = functools.partial(forward_step_fused, tile=tile,
+                                    head_tile=int(ht_env) if ht_env else None,
                                     a8=(impl == "fused_a8"))
     elif impl in ("tp", "tpfused"):
         from rwkv_tpu.models.rwkv4 import signedize_params
@@ -296,8 +308,10 @@ def main():
     bpt = weight_bytes_per_token(params)
     sol_tok_s = bw * 1e9 / bpt
 
+    qtag = "q4" if impl == "fused_q4" else "q8"
+    itag = "fused" if impl == "fused_q4" else impl
     print(json.dumps({
-        "metric": f"decode_tokens_per_sec_rwkv4_{name}_q8_{impl}"
+        "metric": f"decode_tokens_per_sec_rwkv4_{name}_{qtag}_{itag}"
                   + (f"_b{batch}" if batch > 1 else ""),
         "value": round(tok_s, 2),
         "unit": "tokens/s",

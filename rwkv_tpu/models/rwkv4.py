@@ -31,7 +31,14 @@ import jax.numpy as jnp
 
 from rwkv_tpu.models.config import RWKVConfig
 from rwkv_tpu.ops.layernorm import layer_norm
-from rwkv_tpu.ops.quant import QuantLinear, qmatmul, quantize
+from rwkv_tpu.ops.quant import (
+    Quant4Linear,
+    QuantLinear,
+    q4matmul,
+    qmatmul,
+    quantize,
+    quantize4,
+)
 from rwkv_tpu.ops.wkv import (
     WKVChannelState,
     empty_channel_state,
@@ -40,10 +47,12 @@ from rwkv_tpu.ops.wkv import (
     wkv_step,
 )
 
-Linear = QuantLinear | jax.Array  # dense weights are plain [in, out] arrays
+Linear = QuantLinear | Quant4Linear | jax.Array  # dense: plain [in, out]
 
 
 def _matmul(x: jax.Array, w: Linear, compute_dtype=jnp.float32) -> jax.Array:
+    if isinstance(w, Quant4Linear):
+        return q4matmul(x, w, compute_dtype=compute_dtype)
     if isinstance(w, QuantLinear):
         return qmatmul(x, w, compute_dtype=compute_dtype)
     if compute_dtype != x.dtype:
@@ -489,6 +498,7 @@ def signedize_params(params: RWKVParams) -> RWKVParams:
 def random_quantized_params_device(
     cfg: RWKVConfig, seed: int = 0, pad_multiple: int | None = 512,
     signed: bool = True, pretile: int | None = None,
+    q4: bool = False, q4_tile: int | None = None,
 ) -> RWKVParams:
     """Random quantized params generated ON-DEVICE (jit'd PRNG per leaf) —
     zero bulk host->device transfer. For benching big models over slow
@@ -498,22 +508,44 @@ def random_quantized_params_device(
     decode kernel's contiguous-block layout [L, O/t, E, t]
     (ops.pallas.decode_stack.pretile_params) — random content makes the
     permutation irrelevant, and generating in-layout avoids the transient
-    2x-family HBM copy that would OOM a 14B pretile on a 16GB chip."""
+    2x-family HBM copy that would OOM a 14B pretile on a 16GB chip.
+
+    q4: fabricate 4-bit Quant4Linear families (packed int8, half the
+    bytes); q4_tile sets the row-tiled families' block tag (defaults to
+    pick_tile_q4) — content is random so only the tag matters."""
+    from rwkv_tpu.ops.quant import Quant4Linear
+
     E, L, V, F = cfg.n_embd, cfg.n_layer, cfg.vocab_size, cfg.n_ffn
     Vp = V
     if pad_multiple:
         Vp = ((V + pad_multiple - 1) // pad_multiple) * pad_multiple
+    if q4 and q4_tile is None:
+        from rwkv_tpu.ops.pallas.decode_stack import pick_tile_q4
+
+        q4_tile = pick_tile_q4(E)
 
     kit = iter(jax.random.split(jax.random.PRNGKey(seed), 32))
 
     @partial_jit_shape
     def qw(key, shape):
-        if signed:
+        if signed or q4:  # q4 packed bytes are always int8 storage
             return jax.random.randint(key, shape, -128, 128, dtype=jnp.int8)
         return jax.random.randint(key, shape, 0, 256, dtype=jnp.uint8)
 
-    def qrand(shape, col=False):
+    def qrand(shape, col=False, row=False):
         in_dim = shape[-2]
+        if q4:
+            span = 8.0 * in_dim ** -0.5
+            r = span / 15.0
+            scale = jnp.full(shape[:-1], r, jnp.float32)
+            offset = jnp.full(shape[:-1], -span / 2.0 + 8.0 * r, jnp.float32)
+            wshape = shape[:-2] + (shape[-2] // 2, shape[-1])
+            if col and pretile:
+                L_, K2, O = wshape
+                wshape = (L_, O // pretile, K2, pretile)
+            return Quant4Linear(wp=qw(next(kit), wshape), scale=scale,
+                                offset=offset,
+                                block=q4_tile if row else None)
         span = 8.0 * in_dim ** -0.5
         scale = jnp.full(shape[:-1], span / 255.0, jnp.float32)
         off0 = -span / 2.0 + (128.0 * span / 255.0 if signed else 0.0)
@@ -544,13 +576,14 @@ def random_quantized_params_device(
         att=AttParams(
             mix_k=mix((L, E)), mix_v=mix((L, E)), mix_r=mix((L, E)),
             key=qrand((L, E, E), col=True), value=qrand((L, E, E), col=True),
-            receptance=qrand((L, E, E), col=True), output=qrand((L, E, E)),
+            receptance=qrand((L, E, E), col=True),
+            output=qrand((L, E, E), row=True),
             decay=-jnp.exp(jax.random.normal(next(kit), (L, E))),
             bonus=jax.random.normal(next(kit), (L, E)) * 0.5,
         ),
         ffn=FFNParams(
             mix_k=mix((L, E)), mix_r=mix((L, E)),
-            key=qrand((L, E, F), col=True), value=qrand((L, F, E)),
+            key=qrand((L, E, F), col=True), value=qrand((L, F, E), row=True),
             receptance=qrand((L, E, E), col=True),
         ),
         ln_out=LNParams(ones(E), zeros(E)),
@@ -585,6 +618,12 @@ def pad_vocab(params: RWKVParams, multiple: int = 128) -> RWKVParams:
             scale=head.scale,
             offset=head.offset,
         )
+    elif isinstance(head, Quant4Linear):
+        # O (vocab) is the unpacked lane dim of the packed tensor; padding
+        # it with 0-bytes decodes to the centered code -8 on both nibbles,
+        # which logit_bias -1e9 masks regardless
+        head = dataclasses.replace(
+            head, wp=jnp.pad(head.wp, ((0, 0), (0, pad))))
     else:
         head = jnp.pad(head, ((0, 0), (0, pad)))
     if params.logit_bias is not None:
@@ -620,6 +659,54 @@ def quantize_params(params: RWKVParams, as_numpy: bool = False) -> RWKVParams:
             params.ffn,
             key=q(params.ffn.key),
             value=q(params.ffn.value),
+            receptance=q(params.ffn.receptance),
+        ),
+        head=q(params.head),
+    )
+
+
+def quantize_params_q4(
+    params: RWKVParams,
+    tile: int | None = None,
+    as_numpy: bool = False,
+) -> RWKVParams:
+    """Quantize the 8 matrix families to 4-bit Quant4Linear — the
+    beyond-parity format (the reference converter is Q8_0-only,
+    convert_model.py:108-119): decode is weight-HBM-bound, so 4 bits
+    halve bytes/token (ops/pallas/mm4.py has the measured 2x).
+
+    Column-sliced families (contraction resident in the kernel) pack with
+    the global split-half layout; the row-tiled families (att.output,
+    ffn.value — streamed `tile` contraction rows per grid step) pack
+    per-tile so each kernel block is self-contained. `tile` must match
+    the decode_stack tile (default: pick_tile_q4)."""
+    if tile is None:
+        from rwkv_tpu.ops.pallas.decode_stack import pick_tile_q4
+
+        tile = pick_tile_q4(params.n_embd)
+
+    def q(w: Linear, block: int | None = None) -> Quant4Linear:
+        if isinstance(w, Quant4Linear):
+            assert w.block == block, (w.block, block)
+            return w
+        if isinstance(w, QuantLinear):
+            raise TypeError("cannot requantize u8 params to 4-bit; "
+                            "start from dense weights")
+        return quantize4(w, block=block, as_numpy=as_numpy)
+
+    return dataclasses.replace(
+        params,
+        att=dataclasses.replace(
+            params.att,
+            key=q(params.att.key),
+            value=q(params.att.value),
+            receptance=q(params.att.receptance),
+            output=q(params.att.output, block=tile),
+        ),
+        ffn=dataclasses.replace(
+            params.ffn,
+            key=q(params.ffn.key),
+            value=q(params.ffn.value, block=tile),
             receptance=q(params.ffn.receptance),
         ),
         head=q(params.head),

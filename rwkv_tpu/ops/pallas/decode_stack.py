@@ -76,6 +76,34 @@ def _dot_s8(a_i8, b_i8):
     ).astype(jnp.float32)
 
 
+def _dot4(a2, p):
+    """Folded-LHS 4-bit matmul (the mm4.py two_dot identity, measured at
+    2x mm8 bandwidth): a2 = [a_lo - a_hi/16 | a_hi/16] from _fold4; p is
+    the nibble-packed [K/2, t] int8 block. Weight-side VPU work is ONE
+    int8 `&` + TWO int8->f32 casts; the centering lives in the caller's
+    offs correction."""
+    k2 = p.shape[0]
+    low = (p & 0xF).astype(jnp.float32)
+    pb = p.astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    return (
+        jax.lax.dot_general(a2[:, :k2], low, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(a2[:, k2:], pb, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    )
+
+
+def _fold4(xr):
+    """LHS fold for _dot4: scaled activations [B, K] ->
+    ([B, K] folded LHS, [B, 128] broadcast -8*rowsum(a_lo) correction)."""
+    k2 = xr.shape[1] // 2
+    a_hi = xr[:, k2:] * 0.0625
+    a_lo = xr[:, :k2]
+    a2 = jnp.concatenate([a_lo - a_hi, a_hi], axis=1)
+    return a2, -8.0 * _bsum(a_lo)
+
+
 def _quant_rows(x):
     """Per-row dynamic symmetric int8 quantization: x ~= q * s."""
     s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
@@ -94,6 +122,7 @@ def _decode_stack_kernel(
     *refs,
     n_att: int, n_ffn: int, tile: int, n_layer: int, n_head: int,
     a8: bool, with_head: bool, fuse_embed: int, pretiled: bool,
+    q4: bool = False,
 ):
     # ----- unpack (positional refs: inputs, then outputs, then scratch) ----
     ln0_w = ln0_b = None
@@ -199,23 +228,35 @@ def _decode_stack_kernel(
         iv = mv * xx + (1.0 - mv) * xy
         ir = mr * xx + (1.0 - mr) * xy
         xy_out[0] = xx
-        if a8:
-            q_k[:], scls[SK] = _quant_rows(ik * kr[0])
-            q_v[:], scls[SV] = _quant_rows(iv * vr[0])
-            q_r[:], scls[SR] = _quant_rows(ir * rr[0])
+        if q4:
+            xs_k[:], ck = _fold4(ik * kr[0])
+            xs_v[:], cv = _fold4(iv * vr[0])
+            xs_r[:], cr = _fold4(ir * rr[0])
+            offs[OFFK] = _bsum(ik * ko[0]) + ck
+            offs[OFFV] = _bsum(iv * vo[0]) + cv
+            offs[OFFR] = _bsum(ir * ro[0]) + cr
         else:
-            xs_k[:] = ik * kr[0]
-            xs_v[:] = iv * vr[0]
-            xs_r[:] = ir * rr[0]
-        offs[OFFK] = _bsum(ik * ko[0])
-        offs[OFFV] = _bsum(iv * vo[0])
-        offs[OFFR] = _bsum(ir * ro[0])
+            if a8:
+                q_k[:], scls[SK] = _quant_rows(ik * kr[0])
+                q_v[:], scls[SV] = _quant_rows(iv * vr[0])
+                q_r[:], scls[SR] = _quant_rows(ir * rr[0])
+            else:
+                xs_k[:] = ik * kr[0]
+                xs_v[:] = iv * vr[0]
+                xs_r[:] = ir * rr[0]
+            offs[OFFK] = _bsum(ik * ko[0])
+            offs[OFFV] = _bsum(iv * vo[0])
+            offs[OFFR] = _bsum(ir * ro[0])
         offs[OUTO] = jnp.zeros_like(offs[OUTO])
 
     # ------------------------------------------------------------- att tiles
     @pl.when(s < n_att)
     def _():
-        if a8:
+        if q4:
+            k_t = _dot4(xs_k[:], w2(km)) + offs[OFFK][:, :1]
+            v_t = _dot4(xs_v[:], w2(vm)) + offs[OFFV][:, :1]
+            r_t = _dot4(xs_r[:], w2(rm)) + offs[OFFR][:, :1]
+        elif a8:
             k_t = _dot_s8(q_k[:], w2(km)) * scls[SK][:, :1] + offs[OFFK][:, :1]
             v_t = _dot_s8(q_v[:], w2(vm)) * scls[SV][:, :1] + offs[OFFV][:, :1]
             r_t = _dot_s8(q_r[:], w2(rm)) * scls[SR][:, :1] + offs[OFFR][:, :1]
@@ -246,12 +287,17 @@ def _decode_stack_kernel(
 
         rwkv_t = (1.0 / (1.0 + jnp.exp(-r_t))) * ywkv
         # row-parallel partial of the output projection + rank-1 offset acc
-        if a8:
+        if q4:
+            a2, c = _fold4(rwkv_t * wout_r[0])  # block=tile packing
+            xcur[:] += _dot4(a2, wout[0])
+            offs[OUTO] += _bsum(rwkv_t * wout_o[0]) + c
+        elif a8:
             qo, so = _quant_rows(rwkv_t * wout_r[0])
             xcur[:] += _dot_s8(qo, wout[0]) * so[:, :1]
+            offs[OUTO] += _bsum(rwkv_t * wout_o[0])
         else:
             xcur[:] += _dot(rwkv_t * wout_r[0], wout[0])
-        offs[OUTO] += _bsum(rwkv_t * wout_o[0])
+            offs[OUTO] += _bsum(rwkv_t * wout_o[0])
 
     # ------------------------------------------------------------- gate init
     @pl.when(s == n_att)
@@ -263,14 +309,20 @@ def _decode_stack_kernel(
         ik = fk * xx2 + (1.0 - fk) * dd
         ir = fr * xx2 + (1.0 - fr) * dd
         dd_out[0] = xx2
-        if a8:
-            q_fk[:], scls[SFK] = _quant_rows(ik * fkr[0])
-            q_fr[:], scls[SFR] = _quant_rows(ir * gr[0])
+        if q4:
+            xs_fk[:], cfk = _fold4(ik * fkr[0])
+            xs_fr[:], cfr = _fold4(ir * gr[0])
+            offs[FFK] = _bsum(ik * fko[0]) + cfk
+            offs[FFR] = _bsum(ir * go[0]) + cfr
         else:
-            xs_fk[:] = ik * fkr[0]
-            xs_fr[:] = ir * gr[0]
-        offs[FFK] = _bsum(ik * fko[0])
-        offs[FFR] = _bsum(ir * go[0])
+            if a8:
+                q_fk[:], scls[SFK] = _quant_rows(ik * fkr[0])
+                q_fr[:], scls[SFR] = _quant_rows(ir * gr[0])
+            else:
+                xs_fk[:] = ik * fkr[0]
+                xs_fr[:] = ir * gr[0]
+            offs[FFK] = _bsum(ik * fko[0])
+            offs[FFR] = _bsum(ir * go[0])
         offs[FFV] = jnp.zeros_like(offs[FFV])
         zacc[:] = jnp.zeros_like(zacc)
 
@@ -282,25 +334,34 @@ def _decode_stack_kernel(
         # one gate tile per early ffn step (j < n_att; nF = 4·nE >= nE)
         @pl.when(j < n_att)
         def _():
-            if a8:
+            if q4:
+                g_t = _dot4(xs_fr[:], w2(wg)) + offs[FFR][:, :1]
+            elif a8:
                 g_t = (_dot_s8(q_fr[:], w2(wg)) * scls[SFR][:, :1]
                        + offs[FFR][:, :1])
             else:
                 g_t = _dot(xs_fr[:], w2(wg)) + offs[FFR][:, :1]
             gate[:, pl.ds(j * tile, tile)] = 1.0 / (1.0 + jnp.exp(-g_t))
 
-        if a8:
+        if q4:
+            h_t = _dot4(xs_fk[:], w2(ffnk)) + offs[FFK][:, :1]
+        elif a8:
             h_t = _dot_s8(q_fk[:], w2(ffnk)) * scls[SFK][:, :1] + offs[FFK][:, :1]
         else:
             h_t = _dot(xs_fk[:], w2(ffnk)) + offs[FFK][:, :1]
         h_t = jnp.maximum(h_t, 0.0)
         h_t = h_t * h_t
-        if a8:
+        if q4:
+            a2, c = _fold4(h_t * fvr[0])  # block=tile packing
+            zacc[:] += _dot4(a2, ffnv[0])
+            offs[FFV] += _bsum(h_t * fvo[0]) + c
+        elif a8:
             qh, sh = _quant_rows(h_t * fvr[0])
             zacc[:] += _dot_s8(qh, ffnv[0]) * sh[:, :1]
+            offs[FFV] += _bsum(h_t * fvo[0])
         else:
             zacc[:] += _dot(h_t * fvr[0], ffnv[0])
-        offs[FFV] += _bsum(h_t * fvo[0])
+            offs[FFV] += _bsum(h_t * fvo[0])
 
         @pl.when(s == S - 1)
         def _():
@@ -315,15 +376,21 @@ def _decode_stack_kernel(
         @pl.when(s == S)  # only reachable on the last layer
         def _():
             h = _ln(xcur[:], lnout_w[0], lnout_b[0])
-            if a8:
+            if q4:
+                xs_h[:], ch = _fold4(h * hr[0])
+                offs[HOF] = _bsum(h * ho[0]) + ch
+            elif a8:
                 q_h[:], scls[SH] = _quant_rows(h * hr[0])
+                offs[HOF] = _bsum(h * ho[0])
             else:
                 xs_h[:] = h * hr[0]
-            offs[HOF] = _bsum(h * ho[0])
+                offs[HOF] = _bsum(h * ho[0])
 
         @pl.when(s >= S)
         def _():
-            if a8:
+            if q4:
+                logits_out[:] = _dot4(xs_h[:], hw[:]) + offs[HOF][:, :1]
+            elif a8:
                 logits_out[:] = (
                     _dot_s8(q_h[:], hw[:]) * scls[SH][:, :1] + offs[HOF][:, :1]
                 )
@@ -359,6 +426,27 @@ def pick_tile(n_embd: int, preferred: int = 512,
     raise ValueError(f"n_embd {n_embd} not divisible by any 128-multiple tile")
 
 
+def pick_tile_q4(n_embd: int, preferred: int = 512,
+                 vmem_budget: int = 15 * 1024 * 1024) -> int:
+    """pick_tile for 4-bit packed weights. Budget model 12*E*tile: 8*E*t
+    of double-buffered packed blocks (8 streams at (E/2) x t bytes each,
+    x2 buffers) plus ~4*E*t of in-kernel f32 nibble-unpack temporaries
+    (measured via 7B scoped-VMEM OOMs, see pick_head_tile). Still wider
+    than Q8's 16*E*t at equal VMEM: E=1024 runs full-width, E=4096 gets
+    256 instead of 128."""
+    for t in (n_embd, preferred, 512, 384, 256, 128):
+        if (
+            n_embd % t == 0
+            and t % 128 == 0
+            and (t == n_embd or t <= preferred)
+            and 12 * n_embd * t <= vmem_budget
+        ):
+            return t
+    if n_embd % 128 == 0:
+        return 128
+    raise ValueError(f"n_embd {n_embd} not divisible by any 128-multiple tile")
+
+
 def pretile_params(params: RWKVParams, tile: int | None = None) -> RWKVParams:
     """One-time physical re-layout of the five column-sliced weight families
     (att k/v/r, ffn receptance, ffn key): [L, E, O] -> [L, O/t, E, t], so
@@ -375,13 +463,21 @@ def pretile_params(params: RWKVParams, tile: int | None = None) -> RWKVParams:
     """
     import dataclasses
 
-    from rwkv_tpu.ops.quant import QuantLinear
+    from rwkv_tpu.ops.quant import Quant4Linear, QuantLinear
 
     E = params.emb.shape[1]
     if tile is None:
-        tile = pick_tile(E)
+        tile = (pick_tile_q4(E) if isinstance(params.att.key, Quant4Linear)
+                else pick_tile(E))
 
     def colt(lin):
+        if isinstance(lin, Quant4Linear):
+            if lin.wp.ndim != 3:
+                return lin
+            L_, K2, O = lin.wp.shape  # packed contraction rows
+            w4 = jnp.transpose(
+                lin.wp.reshape(L_, K2, O // tile, tile), (0, 2, 1, 3))
+            return dataclasses.replace(lin, wp=w4)
         if not isinstance(lin, QuantLinear) or lin.w.ndim != 3:
             return lin
         L_, K, O = lin.w.shape
@@ -405,17 +501,25 @@ def pretile_params(params: RWKVParams, tile: int | None = None) -> RWKVParams:
 
 
 def pick_head_tile(n_embd: int, tile: int, vocab_padded: int,
-                   vmem_budget: int = 15 * 1024 * 1024) -> int:
+                   vmem_budget: int = 15 * 1024 * 1024,
+                   q4: bool = False) -> int:
     """Widest 128-multiple divisor of the padded vocab whose double-buffered
     [E, head_tile] i8 blocks fit beside the 7 layer-weight streams.
 
     The head phase has the whole VMEM budget minus the layer streams to
     itself, so its tiles can be much wider than the layer tile — fewer
     grid steps for the 50k-wide projection (e.g. E=1024/tile=512:
-    head_tile 2816 -> 18 steps instead of 99)."""
-    layer_bytes = 14 * n_embd * tile
+    head_tile 2816 -> 18 steps instead of 99).
+
+    q4 coefficients are MEASURED, not derived (7B scoped-VMEM OOM probes,
+    2026-08-17): the layer term is 11*E*tile (7 packed double-buffered
+    streams = 7*E*t, plus ~4*E*t of in-kernel f32 nibble-unpack
+    temporaries Mosaic materializes on the stack), and the head column
+    cost fit 2578 B/col at E=4096 (~0.63*E) — 0.75*E used for margin."""
+    layer_bytes = (11 if q4 else 14) * n_embd * tile
+    hb = (3 * n_embd) // 4 if q4 else 2 * n_embd
     for ht in range(vocab_padded, 127, -128):
-        if vocab_padded % ht == 0 and layer_bytes + 2 * n_embd * ht <= vmem_budget:
+        if vocab_padded % ht == 0 and layer_bytes + hb * ht <= vmem_budget:
             return ht
     return 128  # always fits: layer_bytes <= 14/16 budget by construction
 
@@ -444,32 +548,63 @@ def decode_stack(
 
     a8=True runs every matvec as native s8 x s8 -> s32 on the MXU with
     per-row dynamic activation quantization (no u8->float widening pass);
-    adds ~0.4% relative activation noise — validate ppl before serving."""
-    from rwkv_tpu.ops.quant import QuantLinear
+    adds ~0.4% relative activation noise — validate ppl before serving.
+
+    4-bit params (models.rwkv4.quantize_params_q4) are auto-detected:
+    weight blocks stream nibble-packed at HALF the HBM bytes and every
+    matvec runs through the _dot4 two-dot identity (measured 2x mm8
+    bandwidth, BENCH_NOTES round-4)."""
+    from rwkv_tpu.ops.quant import Quant4Linear, QuantLinear
 
     att, ffn = params.att, params.ffn
-    if att.key.w.dtype != jnp.int8:
+    q4 = isinstance(att.key, Quant4Linear)
+    if q4:
+        if a8:
+            raise ValueError("a8 and 4-bit weights are mutually exclusive")
+        fams = (att.key, att.value, att.receptance, att.output,
+                ffn.key, ffn.value, ffn.receptance)
+        if not all(isinstance(f, Quant4Linear) for f in fams):
+            raise TypeError(
+                "4-bit decode requires ALL matrix families Quant4Linear; "
+                "use models.rwkv4.quantize_params_q4"
+            )
+    elif att.key.w.dtype != jnp.int8:
         raise TypeError(
             "decode_stack requires signed int8 weights; apply "
             "rwkv_tpu.models.rwkv4 signedize/ops.quant.to_signed at load time"
         )
+    wv = (lambda lin: lin.wp) if q4 else (lambda lin: lin.w)
     L = att.decay.shape[0]
     B, E = x.shape
-    pretiled = att.key.w.ndim == 4
+    pretiled = wv(att.key).ndim == 4
     if pretiled:
-        # pretile_params layout: [L, O/t, E, t] — tile is baked in
-        pt = att.key.w.shape[-1]
+        # pretile_params layout: [L, O/t, E(,/2), t] — tile is baked in
+        pt = wv(att.key).shape[-1]
         if tile is None:
             tile = pt
         elif tile != pt:
             raise ValueError(
                 f"params were pretiled for tile={pt}, got tile={tile}"
             )
-        F = ffn.key.w.shape[1] * ffn.key.w.shape[3]
+        F = wv(ffn.key).shape[1] * wv(ffn.key).shape[3]
     else:
-        F = ffn.key.w.shape[-1]
+        F = wv(ffn.key).shape[-1]
         if tile is None:
-            tile = pick_tile(E)
+            tile = pick_tile_q4(E) if q4 else pick_tile(E)
+    if q4:
+        if att.output.block != tile or ffn.value.block != tile:
+            raise ValueError(
+                f"4-bit row-tiled families packed with block="
+                f"{att.output.block}/{ffn.value.block} but kernel tile is "
+                f"{tile}; requantize with quantize_params_q4(tile={tile})"
+            )
+        if any(f.block is not None for f in
+               (att.key, att.value, att.receptance,
+                ffn.key, ffn.receptance)):
+            raise ValueError(
+                "4-bit column-sliced families must use global split-half "
+                "packing (block=None)"
+            )
     assert E % tile == 0 and F % tile == 0, (E, F, tile)
     n_att, n_ffn = E // tile, F // tile
     assert n_ffn >= n_att, (
@@ -480,13 +615,26 @@ def decode_stack(
 
     n_head = 0
     if with_head:
-        if not isinstance(params.head, QuantLinear):
+        if q4:
+            if not isinstance(params.head, Quant4Linear):
+                raise TypeError("4-bit with_head requires a Quant4Linear "
+                                "head (quantize_params_q4 covers it)")
+        elif not isinstance(params.head, QuantLinear):
             raise TypeError("with_head requires a quantized head")
-        if params.head.w.dtype != jnp.int8:
+        if wv(params.head).dtype != jnp.int8:
             raise TypeError("with_head requires a signed int8 head")
-        Vp = params.head.w.shape[-1]
+        Vp = wv(params.head).shape[-1]
         if head_tile is None:
-            head_tile = pick_head_tile(E, tile, Vp)
+            budget = 15 * 1024 * 1024
+            if q4:
+                # q4's wider head tiles eat the margin the q8 defaults
+                # left implicitly: subtract the fixed f32 activation
+                # scratch ((xcur + 5 xs + gate + zacc + xs_h) [Bp, E] +
+                # offs) so the pick can't OOM scoped VMEM at E>=4096
+                bp_est = max(8, -(-B // 8) * 8)
+                budget -= 9 * bp_est * E * 4 + 8 * bp_est * 128 * 4
+            head_tile = pick_head_tile(E, tile, Vp, vmem_budget=budget,
+                                       q4=q4)
         if Vp % head_tile:
             raise ValueError(
                 f"with_head requires padded vocab {Vp} divisible by the "
@@ -542,18 +690,22 @@ def decode_stack(
                               lambda *a: (_l(a[0]), 0, j_att(a[0])),
                               memory_space=pltpu.VMEM)
 
+    # 4-bit blocks carry half the contraction rows (nibble-packed)
+    Ew = E // 2 if q4 else E
+    tw = tile // 2 if q4 else tile
+
     def colT(jm):
         if pretiled:
-            # contiguous [E, tile] blocks: one linear DMA per block
-            return pl.BlockSpec((1, 1, E, tile),
+            # contiguous [E(w), tile] blocks: one linear DMA per block
+            return pl.BlockSpec((1, 1, Ew, tile),
                                 lambda *a: (_l(a[0]), jm(a[0]), 0, 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, E, tile),
+        return pl.BlockSpec((1, Ew, tile),
                             lambda *a: (_l(a[0]), 0, jm(a[0])),
                             memory_space=pltpu.VMEM)
 
     def rowT(jm):
-        return pl.BlockSpec((1, tile, E),
+        return pl.BlockSpec((1, tw, E),
                             lambda *a: (_l(a[0]), jm(a[0]), 0),
                             memory_space=pltpu.VMEM)
 
@@ -633,30 +785,32 @@ def decode_stack(
         r3(ffn.mix_k), r3(ffn.mix_r),
         r3(att.decay), r3(att.bonus),
         state.xy, state.aa, state.bb, state.pp, state.dd,
-        att.key.w, att.value.w, att.receptance.w,
+        wv(att.key), wv(att.value), wv(att.receptance),
         r3(att.key.scale), r3(att.value.scale), r3(att.receptance.scale),
         r3(att.key.offset), r3(att.value.offset), r3(att.receptance.offset),
-        att.output.w, r3(att.output.scale), r3(att.output.offset),
-        ffn.receptance.w, r3(ffn.receptance.scale), r3(ffn.receptance.offset),
-        ffn.key.w, r3(ffn.key.scale), r3(ffn.key.offset),
-        ffn.value.w, r3(ffn.value.scale), r3(ffn.value.offset),
+        wv(att.output), r3(att.output.scale), r3(att.output.offset),
+        wv(ffn.receptance), r3(ffn.receptance.scale),
+        r3(ffn.receptance.offset),
+        wv(ffn.key), r3(ffn.key.scale), r3(ffn.key.offset),
+        wv(ffn.value), r3(ffn.value.scale), r3(ffn.value.offset),
     ]
 
-    weight_bytes = L * (5 * E * E + 2 * E * F)
+    weight_flop_bytes = L * (5 * E * E + 2 * E * F)  # unpacked weight count
+    weight_bytes = weight_flop_bytes // 2 if q4 else weight_flop_bytes
     if with_head:
         r2 = lambda a: a.reshape(1, a.shape[0])  # noqa: E731
         in_specs += [
             # ln_out w/b, head scale/offset: resident rows
             pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, head_tile), lambda *a: (0, j_head(a[0])),
+            pl.BlockSpec((Ew, head_tile), lambda *a: (0, j_head(a[0])),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
         ]
         operands += [
             r2(params.ln_out.weight), r2(params.ln_out.bias),
-            params.head.w, r2(params.head.scale), r2(params.head.offset),
+            wv(params.head), r2(params.head.scale), r2(params.head.offset),
         ]
         # insert head weights between ln_out vecs in order matching kernel
         out_specs.append(
@@ -664,7 +818,8 @@ def decode_stack(
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((Bp, n_head * head_tile), f32))
-        weight_bytes += E * n_head * head_tile
+        weight_flop_bytes += E * n_head * head_tile
+        weight_bytes += Ew * n_head * head_tile
 
     # Must mirror the unpack in _decode_stack_kernel exactly.
     scratch = [pltpu.VMEM((Bp, E), f32)]                      # xcur
@@ -684,10 +839,10 @@ def decode_stack(
         _decode_stack_kernel,
         n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L, n_head=n_head,
         a8=a8, with_head=with_head, fuse_embed=(B if fuse_embed else 0),
-        pretiled=pretiled,
+        pretiled=pretiled, q4=q4,
     )
     cost = pl.CostEstimate(
-        flops=2 * Bp * weight_bytes,
+        flops=2 * Bp * weight_flop_bytes,
         bytes_accessed=weight_bytes,
         transcendentals=L * Bp * (4 * E + F),
     )
@@ -737,7 +892,8 @@ def decode_stack(
 
 def forward_step_fused(
     params: RWKVParams, token: jax.Array, state: WKVState, *,
-    tile: int | None = None, interpret: bool = False, head_a8: bool = False,
+    tile: int | None = None, head_tile: int | None = None,
+    interpret: bool = False, head_a8: bool = False,
     a8: bool = False, fuse_embed: bool | None = None,
 ) -> Tuple[jax.Array, WKVState]:
     """Full decode step on the fused stack kernel. The L-layer body, ln_out
@@ -755,7 +911,7 @@ def forward_step_fused(
     MXU. a8: run ALL matvecs (stack + head) as W8A8; see decode_stack."""
     from rwkv_tpu.ops.layernorm import layer_norm
     from rwkv_tpu.ops.pallas.mm8 import mm8, mm8_a8
-    from rwkv_tpu.ops.quant import QuantLinear
+    from rwkv_tpu.ops.quant import Quant4Linear, QuantLinear
 
     unbatched = token.ndim == 0
     tok = token[None] if unbatched else token
@@ -766,11 +922,14 @@ def forward_step_fused(
     # The head tile is decoupled from the layer tile (pick_head_tile finds
     # a 128-multiple divisor of the padded vocab), so fusability only needs
     # a lane-aligned vocab.
-    head_fusable = (
-        isinstance(params.head, QuantLinear)
-        and params.head.w.dtype == jnp.int8
-        and params.head.w.shape[-1] % 128 == 0
-    )
+    if isinstance(params.head, Quant4Linear):
+        head_fusable = params.head.wp.shape[-1] % 128 == 0
+    else:
+        head_fusable = (
+            isinstance(params.head, QuantLinear)
+            and params.head.w.dtype == jnp.int8
+            and params.head.w.shape[-1] % 128 == 0
+        )
     # auto-fuse the embedding only where it measures as a win (B <= 8:
     # +19-20%; B=16: ~-2% — BENCH_NOTES "Fused embed vs batch");
     # fuse_embed=True forces it up to the kernel's B <= 16 limit
@@ -788,14 +947,19 @@ def forward_step_fused(
 
     if head_fusable:
         y, new_state, logits = decode_stack(
-            x, params, st, token=tok, tile=tile, interpret=interpret, a8=a8,
+            x, params, st, token=tok, tile=tile, head_tile=head_tile,
+            interpret=interpret, a8=a8,
             with_head=True, fuse_embed=embed_fusable,
         )
     else:
         y, new_state = decode_stack(x, params, st, tile=tile,
                                     interpret=interpret, a8=a8)
         h = layer_norm(y, params.ln_out.weight, params.ln_out.bias)
-        if isinstance(params.head, QuantLinear):
+        if isinstance(params.head, Quant4Linear):
+            from rwkv_tpu.ops.pallas.mm4 import qmatmul4_pallas
+
+            logits = qmatmul4_pallas(h, params.head, interpret=interpret)
+        elif isinstance(params.head, QuantLinear):
             xs = h * params.head.scale
             mm = mm8_a8 if (head_a8 or a8) else mm8
             logits = (mm(xs, params.head.w, interpret=interpret)

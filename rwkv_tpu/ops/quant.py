@@ -140,11 +140,20 @@ class Quant4Linear:
     nibble = rows [K/2,K) as two's-complement q-8); `offset` already
     includes the +8*scale re-centering (the Q4 analog of to_signed).
     May carry a leading stacked-layer dim like QuantLinear.
+
+    `block`: split-half pairing width. None = global (row j pairs with
+    j + K/2 — the layout for contraction-resident matmuls). An int b
+    pairs rows WITHIN each b-row block (j pairs with j + b/2 inside its
+    block) so a row-tiled kernel step streaming b original rows gets a
+    self-contained packed [b/2, O] tile (decode_stack's att.output /
+    ffn.value families, tiled along the contraction).
     """
 
     wp: jax.Array      # int8, [..., K/2, O] nibble-packed
     scale: jax.Array   # float32, [..., K]
     offset: jax.Array  # float32, [..., K] (includes +8*scale centering)
+    block: int | None = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
     @property
     def in_features(self) -> int:
@@ -155,16 +164,18 @@ class Quant4Linear:
         return self.wp.shape[-1]
 
 
-def quantize4(w: jax.Array | np.ndarray, *, as_numpy: bool = False
-              ) -> Quant4Linear:
+def quantize4(w: jax.Array | np.ndarray, *, block: int | None = None,
+              as_numpy: bool = False) -> Quant4Linear:
     """Quantize a dense [..., K, O] weight to 4-bit Quant4Linear.
 
     Per-input-channel affine over 16 levels with round-to-nearest and the
     same mean-fractional-residue zero-point refinement as quantize();
-    packing layout documented on Quant4Linear / ops/pallas/mm4.py."""
+    packing layout documented on Quant4Linear / ops/pallas/mm4.py.
+    block: split-half pairing width (None = K, the whole contraction)."""
     x = np.asarray(w)
     K = x.shape[-2]
-    assert K % 2 == 0, f"K={K} must be even for nibble packing"
+    b = K if block is None else block
+    assert K % b == 0 and b % 2 == 0, (K, block)
     o = x.min(axis=-1).astype(np.float64)   # [..., K]
     span = x.max(axis=-1).astype(np.float64) - o
     r = np.where(span > 0, span, 15.0) / 15.0
@@ -176,35 +187,49 @@ def quantize4(w: jax.Array | np.ndarray, *, as_numpy: bool = False
         codes[idx] = qr.astype(np.uint8)
         fmean[idx] = (q - qr).mean(axis=-1)
     o = o + fmean * r + 8.0 * r             # signed centering folded in
-    lo = codes[..., : K // 2, :]                      # unsigned q
-    hi = (codes[..., K // 2:, :] - 8) & 0xF           # two's-compl. q-8
-    packed = ((hi << 4) | lo).astype(np.uint8).view(np.int8)
+    # per-block split-half: within each b-row block, row i pairs with
+    # i + b/2 (b == K reproduces the global layout)
+    lead, O = x.shape[:-2], x.shape[-1]
+    cb = codes.reshape(lead + (K // b, b, O))
+    lo = cb[..., : b // 2, :]                         # unsigned q
+    hi = (cb[..., b // 2:, :] - 8) & 0xF              # two's-compl. q-8
+    packed = (((hi << 4) | lo).astype(np.uint8).view(np.int8)
+              .reshape(lead + (K // 2, O)))
     if as_numpy:
         return Quant4Linear(wp=packed, scale=r.astype(np.float32),
-                            offset=o.astype(np.float32))
+                            offset=o.astype(np.float32), block=block)
     return Quant4Linear(
         wp=jnp.asarray(packed),
         scale=jnp.asarray(r, dtype=jnp.float32),
         offset=jnp.asarray(o, dtype=jnp.float32),
+        block=block,
     )
 
 
-def unpack4(wp: jax.Array) -> jax.Array:
+def unpack4(wp: jax.Array, block: int | None = None) -> jax.Array:
     """Centered int32 weights [-8, 7] from the packed [..., K/2, O] int8.
 
     XLA path (tests / prefill); the Pallas kernel unpacks in-register with
-    the shift-free trick (ops/pallas/mm4.py docstring)."""
+    the shift-free trick (ops/pallas/mm4.py docstring). block must match
+    the quantize4 packing."""
     p32 = wp.astype(jnp.int32)              # sign-extends
     low = p32 & 0xF
-    w_lo = low - 8                          # rows [0, K/2)
+    w_lo = low - 8                          # block rows [0, b/2)
     w_hi = (p32 - low) >> 4                 # exact: 16*(q-8) / 16
-    return jnp.concatenate([w_lo, w_hi], axis=-2)
+    K2, O = wp.shape[-2], wp.shape[-1]
+    b2 = K2 if block is None else block // 2
+    lead = wp.shape[:-2]
+    w_lo = w_lo.reshape(lead + (K2 // b2, b2, O))
+    w_hi = w_hi.reshape(lead + (K2 // b2, b2, O))
+    return jnp.concatenate([w_lo, w_hi], axis=-2).reshape(
+        lead + (2 * K2, O))
 
 
 def dequantize4(q: Quant4Linear, dtype=jnp.float32) -> jax.Array:
     """Materialize the dense weight (tests/debug only)."""
     return (
-        unpack4(q.wp).astype(dtype) * q.scale[..., None].astype(dtype)
+        unpack4(q.wp, q.block).astype(dtype)
+        * q.scale[..., None].astype(dtype)
         + q.offset[..., None].astype(dtype)
     )
 
@@ -222,7 +247,7 @@ def q4matmul(
     xs = (x * q.scale).astype(compute_dtype)
     prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    w = unpack4(q.wp).astype(compute_dtype)
+    w = unpack4(q.wp, q.block).astype(compute_dtype)
     main = jax.lax.dot_general(
         xs, w,
         dimension_numbers=(((x.ndim - 1,), (w.ndim - 2,)), ((), ())),

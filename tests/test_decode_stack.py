@@ -245,3 +245,87 @@ def test_fused_embed_batch16(model):
     for a, b in zip(s_f, s_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def model_q4():
+    from rwkv_tpu.models.rwkv4 import pad_vocab, quantize_params_q4
+
+    cfg = RWKVConfig.tiny_test(n_layer=3, n_embd=256, vocab_size=384)
+    params = pad_vocab(
+        quantize_params_q4(init_params(jax.random.PRNGKey(0), cfg), tile=128),
+        multiple=128,
+    )
+    return cfg, params
+
+
+@pytest.mark.parametrize("B", [1, 2])
+def test_q4_fused_step_matches_oracle(model_q4, B):
+    """4-bit fused kernel vs the XLA q4matmul oracle on the SAME packed
+    params: quantization error cancels, so only the _dot4/_fold4 identity
+    is under test (both sides f32 -> tight tolerance)."""
+    cfg, params = model_q4
+    if B == 1:
+        state = init_state(cfg)
+        tok = jnp.asarray(5)
+    else:
+        state = init_state(cfg, (B,))
+        tok = jnp.asarray([5, 9][:B])
+
+    l_ref, s_ref = forward_step(params, tok, state)
+    l_f, s_f = forward_step_fused(params, tok, state, tile=128,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_ref),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(s_f, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_q4_fused_state_carry(model_q4):
+    cfg, params = model_q4
+    s_r = s_f = init_state(cfg, (2,))
+    for t in ([3, 7], [1, 2], [9, 9], [100, 50]):
+        tok = jnp.asarray(t)
+        l_r, s_r = forward_step(params, tok, s_r)
+        l_f, s_f = forward_step_fused(params, tok, s_f, tile=128,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_r),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_q4_pretiled_matches_oracle(model_q4):
+    from rwkv_tpu.ops.pallas.decode_stack import pretile_params
+
+    cfg, params = model_q4
+    pre = pretile_params(params, tile=128)
+    assert pre.att.key.wp.ndim == 4  # [L, O/t, E/2, t]
+    state = init_state(cfg, (2,))
+    tok = jnp.asarray([5, 9])
+    l_ref, _ = forward_step(params, tok, state)
+    l_f, _ = forward_step_fused(pre, tok, state, tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_q4_quality_close_to_dense(model_q4):
+    """End-to-end sanity that 4-bit weights stay usable: q4 logits
+    correlate with the DENSE model's logits (quantization noise present
+    but structured output preserved)."""
+    cfg, q4p = model_q4
+    dense = init_params(jax.random.PRNGKey(0), cfg)
+    state = init_state(cfg)
+    tok = jnp.asarray(5)
+    l_d, _s = forward_step(dense, tok, state)
+    l_q, _s = forward_step(q4p, tok, state)
+    a = np.asarray(l_q)[: cfg.vocab_size]
+    b = np.asarray(l_d)[: cfg.vocab_size]
+    assert np.corrcoef(a, b)[0, 1] > 0.99
+
+
+def test_q4_tile_mismatch_raises(model_q4):
+    cfg, params = model_q4  # packed with block=128 on the row-tiled fams
+    state = init_state(cfg)
+    tok = jnp.asarray(5)
+    with pytest.raises(ValueError, match="block"):
+        forward_step_fused(params, tok, state, tile=256, interpret=True)
