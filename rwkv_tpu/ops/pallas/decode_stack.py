@@ -518,7 +518,14 @@ def pick_head_tile(n_embd: int, tile: int, vocab_padded: int,
     cost fit 2578 B/col at E=4096 (~0.63*E) — 0.75*E used for margin."""
     layer_bytes = (11 if q4 else 14) * n_embd * tile
     hb = (3 * n_embd) // 4 if q4 else 2 * n_embd
-    for ht in range(vocab_padded, 127, -128):
+    # q4 head tiles past ~1024 cols go superlinear in scoped VMEM at big E
+    # (Mosaic stops fusing the nibble-unpack casts: 7B t=128/ht=2304
+    # measured ~1.07*E per col vs 0.63*E at ht<=1536; E=1024/ht=2816
+    # fuses fine) — and the head is <3% of a >=7B model's bytes, so
+    # capping there costs nothing.
+    ht_max = min(vocab_padded, 1024) if (q4 and n_embd >= 2048) \
+        else vocab_padded
+    for ht in range(ht_max, 127, -128):
         if vocab_padded % ht == 0 and layer_bytes + hb * ht <= vmem_budget:
             return ht
     return 128  # always fits: layer_bytes <= 14/16 budget by construction
