@@ -14,7 +14,13 @@ DEFAULT_VOCAB = os.environ.get("RWKV_TPU_VOCAB")
 def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default=os.environ.get("MODEL_PATH"),
                    help="path to a .bin checkpoint (reference format) or a "
-                        ".safetensors RWKV-v4 checkpoint (quantized on load)")
+                        ".safetensors/.pth RWKV-v4 checkpoint (quantized "
+                        "on load)")
+    p.add_argument("--quant", choices=("q8", "q4"), default="q8",
+                   help="weight format: q8 (reference Q8_0 parity) or q4 "
+                        "(4-bit nibble-packed — half the HBM bytes/token, "
+                        "1.4-1.9x decode, 14B fits one 16GB chip; needs a "
+                        "dense .safetensors/.pth source and no --shards)")
     p.add_argument("--vocab", default=DEFAULT_VOCAB,
                    help="dir with vocab.json + merges.txt "
                         "(default: the bundled 50,277-entry vocab)")
@@ -60,15 +66,21 @@ def build_engine(args) -> RWKV:
         getattr(args, "tp_pretile", "auto")]
     eng = RWKV(max_streams=args.streams, prefill_dtype=pdt,
                sharding=sharding, tp_body=getattr(args, "tp_body", None),
-               tp_pretile=pt)
+               tp_pretile=pt, quant=getattr(args, "quant", "q8"))
     if args.mock:
         import jax
 
         from rwkv_tpu.models.config import RWKVConfig
-        from rwkv_tpu.models.rwkv4 import init_params, quantize_params
+        from rwkv_tpu.models.rwkv4 import (init_params, quantize_params,
+                                           quantize_params_q4)
 
         cfg = RWKVConfig(n_layer=2, n_embd=64)
-        eng.load_params(quantize_params(init_params(jax.random.PRNGKey(0), cfg)))
+        dense = init_params(jax.random.PRNGKey(0), cfg)
+        if eng.quant == "q4":
+            # tiny mock E is below any kernel tile; tag blocks at E
+            eng.load_params(quantize_params_q4(dense, tile=cfg.n_embd))
+        else:
+            eng.load_params(quantize_params(dense))
         print("[mock] tiny random model (output is gibberish by design)",
               file=sys.stderr)
     elif args.model:

@@ -38,11 +38,17 @@ def main(argv=None) -> int:
     p.add_argument("--gate", type=float, default=None, metavar="DELTA",
                    help="also eval the dense weights; fail (exit 1) if "
                         "ppl(quant)-ppl(dense) > DELTA")
+    p.add_argument("--quant", choices=("q8", "q4"), default="q8",
+                   help="quantization under test (q4 = the 4-bit serving "
+                        "format; needs a dense .pth/.safetensors input)")
     args = p.parse_args(argv)
     if args.gate is not None and args.model.endswith(".bin"):
         # argv-decidable: reject before the (potentially multi-GB) load
         p.error("--gate needs the dense weights: use the .pth/"
                 ".safetensors checkpoint, not the quantized .bin")
+    if args.quant == "q4" and args.model.endswith(".bin"):
+        p.error("--quant q4 needs a dense .pth/.safetensors input "
+                "(.bin stores Q8 already)")
 
     import jax.numpy as jnp
 
@@ -64,11 +70,12 @@ def main(argv=None) -> int:
     else:
         from rwkv_tpu.io.convert import load_checkpoint_quantized
 
-        qparams = load_checkpoint_quantized(args.model)
+        qparams = load_checkpoint_quantized(
+            args.model, bits=4 if args.quant == "q4" else 8)
 
     cdt = jnp.bfloat16 if args.bf16 else jnp.float32
     q = evaluate_nll(qparams, ids, chunk=args.chunk, compute_dtype=cdt)
-    out = {"model": args.model, "tokens": q["tokens"],
+    out = {"model": args.model, "quant": args.quant, "tokens": q["tokens"],
            "quant_ppl": q["ppl"], "quant_nll": q["nll"],
            "bits_per_token": q["bits_per_token"]}
 

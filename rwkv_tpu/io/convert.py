@@ -146,7 +146,9 @@ def load_pth(path: str) -> RWKVParams:
 load_checkpoint = load_pth
 
 
-def load_checkpoint_quantized(path: str) -> RWKVParams:
+def load_checkpoint_quantized(
+    path: str, bits: int = 8, q4_tile: int | None = None,
+) -> RWKVParams:
     """Quantized RWKVParams straight from a checkpoint file, streaming the
     8 matrix families layer-by-layer from the mmap'd source: peak host RAM
     ~ the final (quantized) pytree + ONE dense [in, out] layer, vs
@@ -154,9 +156,17 @@ def load_checkpoint_quantized(path: str) -> RWKVParams:
     (a 14B would need ~2x56 GB host RAM that way; this loads in ~15 GB —
     the same per-family streaming discipline as convert()). Per-layer
     quantization is bit-identical to the whole-family call
-    (tests/test_convert.py pins it through the .bin byte-parity gate)."""
-    from rwkv_tpu.ops.quant import QuantLinear, quantize
+    (tests/test_convert.py pins it through the .bin byte-parity gate).
 
+    bits=4: nibble-packed Quant4Linear families (half the device HBM of
+    Q8, 1.4-1.9x decode — BENCH_NOTES round-4). q4_tile must match the
+    decode kernel tile (default pick_tile_q4(E)); it sets the row-tiled
+    families' per-tile packing (ops.quant.quantize4 block)."""
+    from rwkv_tpu.ops.quant import Quant4Linear, QuantLinear, quantize
+    from rwkv_tpu.ops.quant import quantize4
+
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
     w = _load_weights(path, mmap_ok=True)
     missing = [k for k in REQUIRED_KEYS if k not in w]
     if missing:
@@ -165,6 +175,13 @@ def load_checkpoint_quantized(path: str) -> RWKVParams:
     L = sum(1 for k in w if "blocks" in k and "ln1.bias" in k)
     E = w["blocks.0.att.key.weight"].shape[1]
     vocab = w["emb.weight"].shape[0]
+    if bits == 4 and q4_tile is None:
+        if E % 128 == 0:
+            from rwkv_tpu.ops.pallas.decode_stack import pick_tile_q4
+
+            q4_tile = pick_tile_q4(E)
+        else:
+            q4_tile = E  # sub-lane-width model: kernel never runs; tag at E
 
     npf = _npf
 
@@ -174,7 +191,19 @@ def load_checkpoint_quantized(path: str) -> RWKVParams:
     def stack_sq(fmt):
         return stack(fmt, lambda t: npf(t).reshape(-1))
 
-    def qfam(fmt) -> QuantLinear:
+    def qfam(fmt, row_tiled: bool = False):
+        if bits == 4:
+            block = q4_tile if row_tiled else None
+            qs = scs = ofs = None
+            for i in range(L):
+                q = quantize4(_tT(w[fmt.format(i)]), block=block,
+                              as_numpy=True)
+                if qs is None:
+                    qs = np.empty((L,) + q.wp.shape, np.int8)
+                    scs = np.empty((L,) + q.scale.shape, np.float32)
+                    ofs = np.empty((L,) + q.offset.shape, np.float32)
+                qs[i], scs[i], ofs[i] = q.wp, q.scale, q.offset
+            return Quant4Linear(qs, scs, ofs, block=block)
         qs = scs = ofs = None
         for i in range(L):
             q = quantize(_tT(w[fmt.format(i)]), as_numpy=True)
@@ -200,7 +229,7 @@ def load_checkpoint_quantized(path: str) -> RWKVParams:
             key=qfam("blocks.{}.att.key.weight"),
             value=qfam("blocks.{}.att.value.weight"),
             receptance=qfam("blocks.{}.att.receptance.weight"),
-            output=qfam("blocks.{}.att.output.weight"),
+            output=qfam("blocks.{}.att.output.weight", row_tiled=True),
             decay=-np.exp(
                 stack_sq("blocks.{}.att.time_decay").astype(np.float64)
             ).astype(np.float32),
@@ -210,11 +239,12 @@ def load_checkpoint_quantized(path: str) -> RWKVParams:
             mix_k=stack_sq("blocks.{}.ffn.time_mix_k"),
             mix_r=stack_sq("blocks.{}.ffn.time_mix_r"),
             key=qfam("blocks.{}.ffn.key.weight"),
-            value=qfam("blocks.{}.ffn.value.weight"),
+            value=qfam("blocks.{}.ffn.value.weight", row_tiled=True),
             receptance=qfam("blocks.{}.ffn.receptance.weight"),
         ),
         ln_out=LNParams(npf(w["ln_out.weight"]), npf(w["ln_out.bias"])),
-        head=quantize(_tT(w["head.weight"]), as_numpy=True),
+        head=(quantize4(_tT(w["head.weight"]), as_numpy=True) if bits == 4
+              else quantize(_tT(w["head.weight"]), as_numpy=True)),
     )
     assert params.config == RWKVConfig(n_layer=L, n_embd=E, vocab_size=vocab)
     return params

@@ -64,6 +64,7 @@ class RWKV:
         prefill_dtype=jnp.float32,
         tp_body: Optional[str] = None,
         tp_pretile: Optional[bool] = None,
+        quant: str = "q8",
     ):
         # Persistent XLA compile cache for every engine user (server, CLI,
         # library): production-shape kernels compile in minutes cold
@@ -87,6 +88,14 @@ class RWKV:
         # layout when serving batches, max_streams >= 8 — measured policy
         # in BENCH_NOTES round 3); True/False forces it either way.
         self._tp_pretile = tp_pretile
+        # 'q8' (reference Q8_0 parity) or 'q4' (nibble-packed 4-bit:
+        # half the HBM bytes/token, 1.4-1.9x decode, fits 14B on one
+        # 16GB chip — BENCH_NOTES round-4). q4 ingest needs a DENSE
+        # source (.pth/.safetensors); .bin files are Q8-quantized
+        # already and restacking 4-bit on top would double the noise.
+        if quant not in ("q8", "q4"):
+            raise ValueError(f"quant must be 'q8' or 'q4', got {quant!r}")
+        self.quant = quant
         self._state: Optional[WKVState] = None  # leaves [L, B, E]
         self._last_logits: dict[int, jax.Array] = {}  # stream -> logits [V]
         self._pending: dict[int, int] = {}  # emitted-but-not-absorbed token
@@ -113,15 +122,22 @@ class RWKV:
 
         if max_streams is not None:
             self.max_streams = max_streams
-        if path.endswith(".safetensors"):
+        if path.endswith((".safetensors", ".pth")):
             from rwkv_tpu.io.convert import load_checkpoint_quantized
 
             # Streaming per-family quantize (peak host RAM ~ the quantized
             # pytree, not 2x dense float32 — a 14B stays ~15 GB);
             # load_params then applies the same pad/signedize/pretile/shard
             # policies the .bin path gets from read_bin.
-            self.load_params(load_checkpoint_quantized(path))
+            self.load_params(load_checkpoint_quantized(
+                path, bits=4 if self.quant == "q4" else 8))
             return
+        if self.quant == "q4":
+            raise ValueError(
+                "quant='q4' needs a dense source (.pth/.safetensors); "
+                f"{path} is a Q8-quantized .bin — requantizing 4-bit on "
+                "top of Q8 would stack quantization noise"
+            )
         put = None
         # Pad to 512, not the minimal 128: 50277 -> 50688 = 128*4*9*11,
         # whose rich divisor set lets pick_head_tile choose wide head tiles
@@ -234,15 +250,22 @@ class RWKV:
         (W8A8) — faster on widening-bound shapes, adds ~0.4% activation-
         quant noise; validate with eval/ppl.py before serving.
         """
-        from rwkv_tpu.ops.quant import QuantLinear
+        from rwkv_tpu.ops.quant import Quant4Linear, QuantLinear
 
         cfg = params.config
+        q4 = isinstance(params.att.key, Quant4Linear)
+        if q4 and self._sharding is not None:
+            raise ValueError(
+                "4-bit params under sharding are not supported yet — the "
+                "TP kernels stream Q8; serve q4 single-chip (it fits 14B) "
+                "or load with quant='q8'"
+            )
         self._prefill_impl = None
         if use_fused is None:
             use_fused = (
                 jax.default_backend() not in ("cpu",)
                 and self._sharding is None
-                and isinstance(params.att.key, QuantLinear)
+                and isinstance(params.att.key, (QuantLinear, Quant4Linear))
                 and cfg.n_embd % 256 == 0
                 and cfg.n_ffn % 256 == 0
             )
@@ -254,8 +277,8 @@ class RWKV:
             # Guarantee the head fuses into the kernel: the head tile is any
             # 128-multiple divisor of the padded vocab (pick_head_tile), so
             # lane alignment is the only requirement.
-            if isinstance(params.head, QuantLinear):
-                vp = params.head.w.shape[-1]
+            if isinstance(params.head, (QuantLinear, Quant4Linear)):
+                vp = (params.head.wp if q4 else params.head.w).shape[-1]
                 if vp % 128:
                     # 512 (not the minimal 128) for divisor-richness — see
                     # the pad_to comment in load_file
@@ -266,10 +289,17 @@ class RWKV:
             # 4-D weights via qmatmul's einsum path. Skip if the loader
             # already pretiled host-side (read_bin(pretile=...)) or if the
             # model is too big for prefill's layout-copy overhead (see
-            # load_file).
-            params = signedize_params(params)
+            # load_file). q4 packed families halve both sides of that
+            # trade, and their pretile must reuse the block the row-tiled
+            # families were packed for.
+            params = signedize_params(params)  # q4 leaves pass through
             est = cfg.n_layer * 13 * cfg.n_embd ** 2 + 50688 * cfg.n_embd
-            if params.att.key.w.ndim != 4 and est < 8e9:
+            if q4:
+                est //= 2
+                if params.att.key.wp.ndim != 4 and est < 8e9:
+                    params = pretile_params(
+                        params, tile=params.att.output.block)
+            elif params.att.key.w.ndim != 4 and est < 8e9:
                 params = pretile_params(params)
             self._step_fn = (
                 partial(forward_step_fused, a8=True) if a8

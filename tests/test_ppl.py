@@ -42,6 +42,18 @@ def test_quant_delta_small(setup):
     assert abs(r["nll_delta"]) < 0.05, r
 
 
+def test_q4_delta_small(setup):
+    """4-bit quality gate (synthetic analog of the BASELINE ppl row):
+    q4 NLL stays close to dense — noisier than u8 (16 levels vs 256)
+    but structurally sound."""
+    from rwkv_tpu.models.rwkv4 import quantize_params_q4
+
+    cfg, params, ids = setup
+    q = quantize_params_q4(params, tile=32)
+    r = compare_quantization(params, q, ids, chunk=64)
+    assert abs(r["nll_delta"]) < 0.5, r
+
+
 def test_too_short_input(setup):
     cfg, params, _ = setup
     with pytest.raises(ValueError):
