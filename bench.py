@@ -27,7 +27,9 @@ Env knobs:
                           whole-stack in-kernel-collective kernel,
                           decode_stack_tp — should recover ~the 'fused'
                           rate, proving the TP path keeps single-chip
-                          kernel efficiency)
+                          kernel efficiency), or
+                          'tpfused_q4' (the TP kernel on 4-bit packed
+                          weights — the sharded q4 serving body at tp=1)
   RWKV_TPU_BENCH_BATCH  — number of independent decode streams (default 1);
                           >1 reports aggregate tokens/s (continuous batching)
   RWKV_TPU_BENCH_TILE   — fused kernel tile (default auto)
@@ -183,6 +185,19 @@ def main():
             from rwkv_tpu.ops.pallas.decode_stack import pick_tile_q4
 
             ptile = tile if tile else pick_tile_q4(cfg.n_embd)
+        elif impl == "tpfused_q4":
+            # the TP kernel validates block == tile, so the fabrication
+            # block must be the TP pick regardless of pretile
+            from rwkv_tpu.ops.pallas.decode_stack_tp import (
+                pick_tp_fused_tile)
+
+            bp = max(8, -(-batch // 8) * 8)
+            q4t = tile if tile else pick_tp_fused_tile(
+                cfg.n_embd, cfg.n_embd, 1, bp=bp, q4=True)
+            env = os.environ.get("RWKV_TPU_BENCH_PRETILE")
+            want = (env not in ("", "0")) if env is not None else batch >= 8
+            ptile = q4t if want else None
+            q4_fab_tile = q4t
         elif impl in ("fused", "fused_a8") and mode_env != "prefill":
             from rwkv_tpu.ops.pallas.decode_stack import pick_tile
 
@@ -204,9 +219,10 @@ def main():
                 bp = max(8, -(-batch // 8) * 8)
                 ptile = tile if tile else pick_tp_fused_tile(
                     cfg.n_embd, cfg.n_embd, 1, bp=bp)
+        q4i = impl in ("fused_q4", "tpfused_q4")
         params = random_quantized_params_device(
-            cfg, seed=0, pretile=ptile,
-            q4=(impl == "fused_q4"), q4_tile=ptile)
+            cfg, seed=0, pretile=ptile, q4=q4i,
+            q4_tile=(q4_fab_tile if impl == "tpfused_q4" else ptile))
 
     state = init_state(cfg, (batch,)) if batch > 1 else init_state(cfg)
 
@@ -230,7 +246,7 @@ def main():
         step_fn = functools.partial(forward_step_fused, tile=tile,
                                     head_tile=int(ht_env) if ht_env else None,
                                     a8=(impl == "fused_a8"))
-    elif impl in ("tp", "tpfused"):
+    elif impl in ("tp", "tpfused", "tpfused_q4"):
         from rwkv_tpu.models.rwkv4 import signedize_params
         from rwkv_tpu.parallel.mesh import make_mesh
         from rwkv_tpu.parallel.tp_step import make_engine_step
@@ -238,8 +254,10 @@ def main():
         params = signedize_params(params)
         mesh = make_mesh(model=1, data=1)
         step_fn = make_engine_step(
-            mesh, params, body=("fused" if impl == "tpfused" else "pallas"),
-            tile=tile)
+            mesh, params,
+            body=("pallas" if impl == "tp" else "fused"),
+            tile=(params.att.output.block if impl == "tpfused_q4"
+                  else tile))
     else:
         step_fn = forward_step
 
@@ -308,8 +326,8 @@ def main():
     bpt = weight_bytes_per_token(params)
     sol_tok_s = bw * 1e9 / bpt
 
-    qtag = "q4" if impl == "fused_q4" else "q8"
-    itag = "fused" if impl == "fused_q4" else impl
+    qtag = "q4" if impl in ("fused_q4", "tpfused_q4") else "q8"
+    itag = {"fused_q4": "fused", "tpfused_q4": "tpfused"}.get(impl, impl)
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_rwkv4_{name}_{qtag}_{itag}"
                   + (f"_b{batch}" if batch > 1 else ""),

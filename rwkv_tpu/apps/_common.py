@@ -19,8 +19,9 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quant", choices=("q8", "q4"), default="q8",
                    help="weight format: q8 (reference Q8_0 parity) or q4 "
                         "(4-bit nibble-packed — half the HBM bytes/token, "
-                        "1.4-1.9x decode, 14B fits one 16GB chip; needs a "
-                        "dense .safetensors/.pth source and no --shards)")
+                        "1.4-1.9x decode, 14B in ~7GB; needs a dense "
+                        ".safetensors/.pth source; with --shards it runs "
+                        "the fused in-kernel-RDMA TP body)")
     p.add_argument("--vocab", default=DEFAULT_VOCAB,
                    help="dir with vocab.json + merges.txt "
                         "(default: the bundled 50,277-entry vocab)")

@@ -76,6 +76,19 @@ def _load_weights(path: str, mmap_ok: bool = False):
     return torch.load(path, map_location="cpu", weights_only=True)
 
 
+def checkpoint_dims(path: str) -> tuple[int, int, int]:
+    """(n_layer, n_embd, vocab) from a .pth/.safetensors checkpoint,
+    reading shapes only (mmap'd; no tensor data materialized). Lets the
+    engine pick quantization tiles before the streaming load."""
+    w = _load_weights(path, mmap_ok=True)
+    if "emb.weight" not in w or "blocks.0.att.key.weight" not in w:
+        raise ValueError(f"{path}: not an RWKV-v4 checkpoint")
+    L = sum(1 for k in w if "blocks" in k and "ln1.bias" in k)
+    E = w["blocks.0.att.key.weight"].shape[1]
+    vocab = w["emb.weight"].shape[0]
+    return L, E, vocab
+
+
 def load_pth(path: str) -> RWKVParams:
     """Read a BlinkDL RWKV-v4 .pth or .safetensors into dense float32
     RWKVParams."""

@@ -53,13 +53,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rwkv_tpu.models.rwkv4 import RWKVParams, WKVState
-from rwkv_tpu.ops.pallas.decode_stack import _bsum, _dot, _ln
+from rwkv_tpu.ops.pallas.decode_stack import _bsum, _dot, _dot4, _fold4, _ln
 
 
 def _decode_stack_tp_kernel(
     *refs,
     tp: int, n_att: int, n_ffn: int, tile: int, n_layer: int, n_head: int,
     model_axis: str, data_axis: str | None, fuse_embed: int, pretiled: bool,
+    q4: bool = False,
 ):
     if fuse_embed:
         # scalar prefetch: local row ids + in-my-vocab-shard mask, then one
@@ -281,21 +282,30 @@ def _decode_stack_tp_kernel(
         iv = mv * xx + (1.0 - mv) * xy
         ir = mr * xx + (1.0 - mr) * xy
         xy_out[0] = xx
-        xs_k[:] = ik * kr[0]
-        xs_v[:] = iv * vr[0]
-        xs_r[:] = ir * rr[0]
-        offs[OFFK] = _bsum(ik * ko[0])
-        offs[OFFV] = _bsum(iv * vo[0])
-        offs[OFFR] = _bsum(ir * ro[0])
+        if q4:
+            xs_k[:], ck = _fold4(ik * kr[0])
+            xs_v[:], cv = _fold4(iv * vr[0])
+            xs_r[:], cr = _fold4(ir * rr[0])
+            offs[OFFK] = _bsum(ik * ko[0]) + ck
+            offs[OFFV] = _bsum(iv * vo[0]) + cv
+            offs[OFFR] = _bsum(ir * ro[0]) + cr
+        else:
+            xs_k[:] = ik * kr[0]
+            xs_v[:] = iv * vr[0]
+            xs_r[:] = ir * rr[0]
+            offs[OFFK] = _bsum(ik * ko[0])
+            offs[OFFV] = _bsum(iv * vo[0])
+            offs[OFFR] = _bsum(ir * ro[0])
         offs[OUTO] = jnp.zeros_like(offs[OUTO])
         att_acc[:] = jnp.zeros_like(att_acc)
 
     # ------------------------------------------------------------- att tiles
     @pl.when(s < n_att)
     def _():
-        k_t = _dot(xs_k[:], w2(km)) + offs[OFFK][:, :1]
-        v_t = _dot(xs_v[:], w2(vm)) + offs[OFFV][:, :1]
-        r_t = _dot(xs_r[:], w2(rm)) + offs[OFFR][:, :1]
+        dot = _dot4 if q4 else _dot
+        k_t = dot(xs_k[:], w2(km)) + offs[OFFK][:, :1]
+        v_t = dot(xs_v[:], w2(vm)) + offs[OFFV][:, :1]
+        r_t = dot(xs_r[:], w2(rm)) + offs[OFFR][:, :1]
 
         w_t, u_t = decay[0], bonus[0]
         aa, bb, pp = aa_in[0], bb_in[0], pp_in[0]
@@ -313,8 +323,13 @@ def _decode_stack_tp_kernel(
         pp_out[0] = p2
 
         rwkv_t = (1.0 / (1.0 + jnp.exp(-r_t))) * ywkv
-        att_acc[:] += _dot(rwkv_t * wout_r[0], wout[0])
-        offs[OUTO] += _bsum(rwkv_t * wout_o[0])
+        if q4:
+            a2, c = _fold4(rwkv_t * wout_r[0])  # block=tile packing
+            att_acc[:] += _dot4(a2, wout[0])
+            offs[OUTO] += _bsum(rwkv_t * wout_o[0]) + c
+        else:
+            att_acc[:] += _dot(rwkv_t * wout_r[0], wout[0])
+            offs[OUTO] += _bsum(rwkv_t * wout_o[0])
 
         @pl.when(s == n_att - 1)
         def _():
@@ -337,10 +352,16 @@ def _decode_stack_tp_kernel(
         ik = fk * xx2 + (1.0 - fk) * dd
         ir = fr * xx2 + (1.0 - fr) * dd
         dd_out[0] = xx2
-        xs_fk[:] = ik * fkr[0]
-        xs_fr[:] = ir * gr[0]
-        offs[FFK] = _bsum(ik * fko[0])
-        offs[FFR] = _bsum(ir * go[0])
+        if q4:
+            xs_fk[:], cfk = _fold4(ik * fkr[0])
+            xs_fr[:], cfr = _fold4(ir * gr[0])
+            offs[FFK] = _bsum(ik * fko[0]) + cfk
+            offs[FFR] = _bsum(ir * go[0]) + cfr
+        else:
+            xs_fk[:] = ik * fkr[0]
+            xs_fr[:] = ir * gr[0]
+            offs[FFK] = _bsum(ik * fko[0])
+            offs[FFR] = _bsum(ir * go[0])
         offs[FFV] = jnp.zeros_like(offs[FFV])
         vacc[:] = jnp.zeros_like(vacc)
 
@@ -351,7 +372,8 @@ def _decode_stack_tp_kernel(
 
         @pl.when(j < n_att)
         def _():
-            g_t = _dot(xs_fr[:], w2(wg)) + offs[FFR][:, :1]
+            dot = _dot4 if q4 else _dot
+            g_t = dot(xs_fr[:], w2(wg)) + offs[FFR][:, :1]
             gate_buf[:, pl.ds(j * tile, tile)] = 1.0 / (1.0 + jnp.exp(-g_t))
 
             @pl.when(j == n_att - 1)
@@ -361,11 +383,17 @@ def _decode_stack_tp_kernel(
                 if tp > 1:
                     _gate_start()
 
-        h_t = _dot(xs_fk[:], w2(ffnk)) + offs[FFK][:, :1]
+        dot = _dot4 if q4 else _dot
+        h_t = dot(xs_fk[:], w2(ffnk)) + offs[FFK][:, :1]
         h_t = jnp.maximum(h_t, 0.0)
         h_t = h_t * h_t
-        vacc[:] += _dot(h_t * fvr[0], ffnv[0])
-        offs[FFV] += _bsum(h_t * fvo[0])
+        if q4:
+            a2, c = _fold4(h_t * fvr[0])  # block=tile packing
+            vacc[:] += _dot4(a2, ffnv[0])
+            offs[FFV] += _bsum(h_t * fvo[0]) + c
+        else:
+            vacc[:] += _dot(h_t * fvr[0], ffnv[0])
+            offs[FFV] += _bsum(h_t * fvo[0])
 
         @pl.when(s == S - 1)
         def _():
@@ -378,12 +406,17 @@ def _decode_stack_tp_kernel(
     def _():
         _finish_ffn()
         h = _ln(xcur[:], lnout_w[0], lnout_b[0])
-        xs_h[:] = h * hr[0]
-        offs[HOF] = _bsum(h * ho[0])
+        if q4:
+            xs_h[:], ch = _fold4(h * hr[0])
+            offs[HOF] = _bsum(h * ho[0]) + ch
+        else:
+            xs_h[:] = h * hr[0]
+            offs[HOF] = _bsum(h * ho[0])
 
     @pl.when(s >= S)
     def _():
-        logits_out[:] = _dot(xs_h[:], hw[:]) + offs[HOF][:, :1]
+        logits_out[:] = ((_dot4 if q4 else _dot)(xs_h[:], hw[:])
+                         + offs[HOF][:, :1])
 
 
 def _fixed_scratch_bytes(n_embd: int, e_loc: int, tp: int, bp: int) -> int:
@@ -402,7 +435,8 @@ def _fixed_scratch_bytes(n_embd: int, e_loc: int, tp: int, bp: int) -> int:
 
 
 def pick_tp_fused_tile(n_embd: int, e_loc: int, tp: int, bp: int = 8,
-                       vmem_budget: int = 15 * 1024 * 1024) -> int:
+                       vmem_budget: int = 15 * 1024 * 1024,
+                       q4: bool = False) -> int:
     """Largest 128-multiple tile dividing E_loc that fits VMEM.
 
     Pallas double-buffers EVERY windowed input, not just the phase that is
@@ -410,8 +444,13 @@ def pick_tp_fused_tile(n_embd: int, e_loc: int, tp: int, bp: int = 8,
     14·E·tile bytes, the same rule as decode_stack's pick_tile — plus at
     least one minimal double-buffered head stream (2·E·128) and the fixed
     scratch above. (Measured: the 8·E·tile att-only estimate OOM'd real
-    Mosaic at 430M/tp=1 — 18.4M requested of 16M.)"""
+    Mosaic at 430M/tp=1 — 18.4M requested of 16M.)
+
+    q4: packed blocks halve the stream bytes but Mosaic materializes
+    ~4*E*t of f32 unpack temporaries — net 11*E*t, the single-chip
+    pick_tile_q4 model (measured there via scoped-VMEM OOM probes)."""
     fixed = _fixed_scratch_bytes(n_embd, e_loc, tp, bp)
+    wcoef = 11 if q4 else 14
     # Full-width local tile first ONLY at small e_loc (measured: the
     # 169M/E=768 full-width tile was the 0.71x -> 0.95x win, but at
     # E=1024 full-width is 23% SLOWER than t=512 — 1,730 vs 2,254 tok/s
@@ -428,7 +467,8 @@ def pick_tp_fused_tile(n_embd: int, e_loc: int, tp: int, bp: int = 8,
         cands = (512, 384, 256, 128, e_loc)
     for t in cands:
         if (e_loc % t == 0 and t % 128 == 0
-                and 14 * n_embd * t + 2 * n_embd * 128 + fixed <= vmem_budget):
+                and (wcoef * n_embd * t + 2 * n_embd * 128 + fixed
+                     <= vmem_budget)):
             return t
     raise ValueError(
         f"no feasible tile: E={n_embd}, E_loc={e_loc}, tp={tp} "
@@ -438,7 +478,8 @@ def pick_tp_fused_tile(n_embd: int, e_loc: int, tp: int, bp: int = 8,
 
 def pick_tp_head_tile(n_embd: int, tile: int, v_loc: int, *,
                       e_loc: int | None = None, tp: int = 1, bp: int = 8,
-                      vmem_budget: int = 15 * 1024 * 1024) -> int:
+                      vmem_budget: int = 15 * 1024 * 1024,
+                      q4: bool = False) -> int:
     """Widest 128-multiple divisor of the LOCAL vocab shard whose
     double-buffered blocks fit beside the 7 layer streams + fixed scratch.
 
@@ -452,13 +493,18 @@ def pick_tp_head_tile(n_embd: int, tile: int, v_loc: int, *,
             f"vocab to a multiple of 128*tp (models.rwkv4.pad_vocab)"
         )
     fixed = _fixed_scratch_bytes(n_embd, e_loc or n_embd, tp, bp)
-    layer_bytes = 14 * n_embd * tile
+    layer_bytes = (11 if q4 else 14) * n_embd * tile
+    hb = (3 * n_embd) // 4 if q4 else 2 * n_embd
+    # q4 head tiles past ~1024 cols at E>=2048: Mosaic unpack fusion
+    # gives out (single-chip measurement, decode_stack.pick_head_tile)
+    ht_cap = 1024 if (q4 and n_embd >= 2048) else v_loc
     # enumerate 128-multiple divisors, widest first (range(v_loc,127,-128)
     # would only visit values congruent to v_loc mod 128)
     for ht in sorted(
-            (h for h in range(128, v_loc + 1, 128) if v_loc % h == 0),
+            (h for h in range(128, min(v_loc, ht_cap) + 1, 128)
+             if v_loc % h == 0),
             reverse=True):
-        if layer_bytes + 2 * n_embd * ht + fixed <= vmem_budget:
+        if layer_bytes + hb * ht + fixed <= vmem_budget:
             return ht
     return 128
 
@@ -489,10 +535,20 @@ def decode_stack_tp(
     also run in-kernel (token ids ride as scalar prefetch) — the whole
     token -> local-logits step is one kernel; the logits gather is the
     ONLY XLA collective left. Requires B <= 8 (one emb-row ref per row)."""
+    from rwkv_tpu.ops.quant import Quant4Linear
+
     att, ffn = params.att, params.ffn
-    if att.key.w.dtype != jnp.int8:
+    q4 = isinstance(att.key, Quant4Linear)
+    if q4:
+        fams = (att.key, att.value, att.receptance, att.output,
+                ffn.key, ffn.value, ffn.receptance, params.head)
+        if not all(isinstance(f, Quant4Linear) for f in fams):
+            raise TypeError("4-bit TP decode requires ALL families "
+                            "Quant4Linear (quantize_params_q4)")
+    elif att.key.w.dtype != jnp.int8:
         raise TypeError("decode_stack_tp requires signed int8 weights")
-    pretiled = att.key.w.ndim == 4   # [L, O_loc/t, E, t] contiguous blocks
+    wv = (lambda lin: lin.wp) if q4 else (lambda lin: lin.w)
+    pretiled = wv(att.key).ndim == 4  # [L, O_loc/t, E(,/2), t] blocks
     L = att.decay.shape[0]
     if fuse_embed:
         if token is None:
@@ -503,16 +559,17 @@ def decode_stack_tp(
             raise ValueError("fuse_embed supports B <= 8")
     else:
         B, E = x.shape
+    wcoef = 11 if q4 else 14
     if pretiled:
         # contiguous-block layout (decode_stack.pretile_params, sharded on
         # the block dim): tile is baked into the trailing dim
-        pt = att.key.w.shape[-1]
+        pt = wv(att.key).shape[-1]
         if tile is None:
             tile = pt
         elif tile != pt:
             raise ValueError(f"params pretiled for tile={pt}, got {tile}")
-        El = att.key.w.shape[1] * pt
-        Fl = ffn.key.w.shape[1] * pt
+        El = wv(att.key).shape[1] * pt
+        Fl = wv(ffn.key).shape[1] * pt
         # a baked-in tile chosen by the SINGLE-chip picker can blow the
         # TP kernel's VMEM (the exchange scratch is extra, and the f32
         # activation scratch scales with the padded batch); fail loudly
@@ -520,7 +577,7 @@ def decode_stack_tp(
         E_chk = params.emb.shape[1]
         budget = 15 * 1024 * 1024
         bp_chk = max(8, -(-B // 8) * 8)
-        need = (14 * E_chk * tile + 2 * E_chk * 128
+        need = (wcoef * E_chk * tile + 2 * E_chk * 128
                 + _fixed_scratch_bytes(E_chk, El, tp, bp_chk))
         if need > budget:
             raise ValueError(
@@ -530,8 +587,8 @@ def decode_stack_tp(
                 f"bp={bp_chk})"
             )
     else:
-        El = att.key.w.shape[-1]
-        Fl = ffn.key.w.shape[-1]
+        El = wv(att.key).shape[-1]
+        Fl = wv(ffn.key).shape[-1]
         if tile is None:
             bp_pick = max(8, -(-B // 8) * 8)
             # Large-batch 3-D exception (measured, 430M/Bp=32): the
@@ -544,19 +601,26 @@ def decode_stack_tp(
             # plus the head stream and the batch-scaled fixed scratch
             # fits the budget; batch-serving perf users should pretile
             # instead (engine does: +~4% over this and VMEM-predictable).
-            fw_need = (7 * E * El + 2 * E * 128
+            fw_need = ((7 * E * El) // (2 if q4 else 1) + 2 * E * 128
                        + _fixed_scratch_bytes(E, El, tp, bp_pick))
             if bp_pick > 16 and fw_need <= 15 * 1024 * 1024:
                 tile = El
             else:
-                tile = pick_tp_fused_tile(E, El, tp, bp=bp_pick)
-    Vl = params.head.w.shape[-1]
+                tile = pick_tp_fused_tile(E, El, tp, bp=bp_pick, q4=q4)
+    if q4:
+        if att.output.block != tile or ffn.value.block != tile:
+            raise ValueError(
+                f"4-bit row-tiled families packed with block="
+                f"{att.output.block}/{ffn.value.block} but TP kernel tile "
+                f"is {tile}; requantize with quantize_params_q4(tile={tile})"
+            )
+    Vl = wv(params.head).shape[-1]
     assert El % tile == 0 and Fl % tile == 0, (El, Fl, tile)
     n_att, n_ffn = El // tile, Fl // tile
     assert n_ffn >= n_att, "gate tiles ride the first ffn steps (F = 4E)"
     S = n_att + n_ffn
     if head_tile is None:
-        head_tile = pick_tp_head_tile(E, tile, Vl, e_loc=El, tp=tp)
+        head_tile = pick_tp_head_tile(E, tile, Vl, e_loc=El, tp=tp, q4=q4)
     assert Vl % head_tile == 0, (Vl, head_tile)
     n_head = Vl // head_tile
 
@@ -603,17 +667,21 @@ def decode_stack_tp(
                               lambda *a: (_l(a[0]), 0, j_att(a[0])),
                               memory_space=pltpu.VMEM)
 
+    # 4-bit blocks carry half the contraction rows (nibble-packed)
+    Ew = E // 2 if q4 else E
+    tw = tile // 2 if q4 else tile
+
     def colT(jm):
         if pretiled:
-            # contiguous [E, tile] blocks: one linear DMA per block
-            return pl.BlockSpec((1, 1, E, tile),
+            # contiguous [E(w), tile] blocks: one linear DMA per block
+            return pl.BlockSpec((1, 1, Ew, tile),
                                 lambda *a: (_l(a[0]), jm(a[0]), 0, 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, E, tile), lambda *a: (_l(a[0]), 0, jm(a[0])),
+        return pl.BlockSpec((1, Ew, tile), lambda *a: (_l(a[0]), 0, jm(a[0])),
                             memory_space=pltpu.VMEM)
 
     def rowT(jm):
-        return pl.BlockSpec((1, tile, E), lambda *a: (_l(a[0]), jm(a[0]), 0),
+        return pl.BlockSpec((1, tw, E), lambda *a: (_l(a[0]), jm(a[0]), 0),
                             memory_space=pltpu.VMEM)
 
     r2 = lambda a: a.reshape(1, a.shape[0])  # noqa: E731
@@ -649,7 +717,7 @@ def decode_stack_tp(
         rowT(j_ffn), ffn_vec, ffn_vec,                     # ffnv, fvr, fvo
         pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((E, head_tile), lambda *a: (0, j_head(a[0])),
+        pl.BlockSpec((Ew, head_tile), lambda *a: (0, j_head(a[0])),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, E), lambda *a: (0, 0), memory_space=pltpu.VMEM),
@@ -693,13 +761,13 @@ def decode_stack_tp(
         r3(decay_loc), r3(bonus_loc),
         state.xy, state.dd,
         state.aa, state.bb, state.pp,
-        att.key.w, att.value.w, att.receptance.w,
-        att.output.w, r3(att.output.scale), r3(att.output.offset),
-        ffn.receptance.w,
-        ffn.key.w,
-        ffn.value.w, r3(ffn.value.scale), r3(ffn.value.offset),
+        wv(att.key), wv(att.value), wv(att.receptance),
+        wv(att.output), r3(att.output.scale), r3(att.output.offset),
+        wv(ffn.receptance),
+        wv(ffn.key),
+        wv(ffn.value), r3(ffn.value.scale), r3(ffn.value.offset),
         r2(params.ln_out.weight), r2(params.ln_out.bias),
-        params.head.w, r2(params.head.scale), r2(params.head.offset),
+        wv(params.head), r2(params.head.scale), r2(params.head.offset),
     ]
 
     # xcur + 6 xs_* + att_acc + vacc = 9 [Bp, E] f32 buffers
@@ -717,11 +785,12 @@ def decode_stack_tp(
         _decode_stack_tp_kernel,
         tp=tp, n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L, n_head=n_head,
         model_axis=model_axis, data_axis=data_axis,
-        fuse_embed=(B if fuse_embed else 0), pretiled=pretiled,
+        fuse_embed=(B if fuse_embed else 0), pretiled=pretiled, q4=q4,
     )
-    weight_bytes = L * (3 * E * El + El * E + E * El + E * Fl + Fl * E) + E * Vl
+    wfb = L * (3 * E * El + El * E + E * El + E * Fl + Fl * E) + E * Vl
+    weight_bytes = wfb // 2 if q4 else wfb
     cost = pl.CostEstimate(
-        flops=2 * Bp * weight_bytes,
+        flops=2 * Bp * wfb,
         bytes_accessed=weight_bytes,
         transcendentals=L * Bp * (4 * El + Fl),
     )

@@ -38,11 +38,17 @@ from rwkv_tpu.models.rwkv4 import (
     RWKVParams,
     WKVState,
 )
-from rwkv_tpu.ops.quant import QuantLinear
+from rwkv_tpu.ops.quant import Quant4Linear, QuantLinear
 
 
 def _q(wspec: P, vecspec: P) -> QuantLinear:
     return QuantLinear(w=wspec, scale=vecspec, offset=vecspec)
+
+
+def _q4(wspec: P, vecspec: P, block) -> Quant4Linear:
+    # `block` is a STATIC pytree field: the spec tree's treedef must match
+    # the params', so it carries the params' own block tag
+    return Quant4Linear(wp=wspec, scale=vecspec, offset=vecspec, block=block)
 
 
 REP1 = P()          # replicated vector [E]
@@ -62,6 +68,17 @@ def param_pspecs(params: RWKVParams, n_model: int | None = None) -> RWKVParams:
     vocab_ok = n_model is None or (V % n_model == 0)
 
     def mk(linp, row_parallel):
+        if isinstance(linp, Quant4Linear):
+            # packed [L, K/2, O]: the split-half pairing is block-local
+            # (block=tile for the row-parallel families), and tile divides
+            # E/tp, so sharding the packed contraction dim keeps whole
+            # packed blocks per shard
+            if linp.wp.ndim == 4:
+                return _q4(P(None, "model", None, None), rep, linp.block)
+            w = (P(None, "model", None) if row_parallel
+                 else P(None, None, "model"))
+            vec = P(None, "model") if row_parallel else rep
+            return _q4(w, vec, linp.block)
         if (isinstance(linp, QuantLinear)
                 and getattr(linp.w, "ndim", 3) == 4):
             # pretiled contiguous-block layout [L, O/t, E, t]
@@ -89,7 +106,9 @@ def param_pspecs(params: RWKVParams, n_model: int | None = None) -> RWKVParams:
         receptance=mk(params.ffn.receptance, False),
     )
     head_w = P(None, "model") if vocab_ok else P()
-    if isinstance(params.head, QuantLinear):
+    if isinstance(params.head, Quant4Linear):
+        head = _q4(head_w, rep, params.head.block)
+    elif isinstance(params.head, QuantLinear):
         head = _q(head_w, rep)
     else:
         head = head_w

@@ -62,12 +62,23 @@ except ImportError:  # pragma: no cover
         _CHECK_VMA = False  # plain all_gather types as varying
 
 
+def _anyqmm(a, lin, compute_dtype=jnp.float32):
+    """qmatmul for QuantLinear, q4matmul for Quant4Linear (the 4-bit
+    families carry their pack-block tag; local shards hold whole pack
+    blocks because the tile divides E/tp)."""
+    from rwkv_tpu.ops.quant import Quant4Linear, q4matmul
+
+    if isinstance(lin, Quant4Linear):
+        return q4matmul(a, lin, compute_dtype=compute_dtype)
+    return qmatmul(a, lin, compute_dtype=compute_dtype)
+
+
 def _qdot_col(x_full, lin):
     """Column-parallel quantized matvec: local [B, O/tp], no comm.
     scale/offset are replicated (indexed by the full contracted dim).
     Delegates to ops.quant.qmatmul so precision semantics (HIGHEST at
     decode) match the forward_step path exactly."""
-    return qmatmul(x_full, lin)
+    return _anyqmm(x_full, lin)
 
 
 def _qdot_row_partial(x_loc, lin):
@@ -279,27 +290,44 @@ def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
     jit: wrap in jax.jit (False lets the engine compose sampling into the
     same device program before jitting).
     """
+    from rwkv_tpu.ops.quant import Quant4Linear
+
     tp = mesh.shape["model"]
-    if not isinstance(params.head, QuantLinear) or not isinstance(
+    q4 = isinstance(params.att.key, Quant4Linear)
+    if q4:
+        if not isinstance(params.head, Quant4Linear):
+            raise TypeError("4-bit tp_step requires a Quant4Linear head "
+                            "(quantize_params_q4 covers it)")
+    elif not isinstance(params.head, QuantLinear) or not isinstance(
             params.att.key, QuantLinear):
         raise TypeError("tp_step requires quantized params "
                         "(models.rwkv4.quantize_params)")
+    wv = (lambda lin: lin.wp) if q4 else (lambda lin: lin.w)
     V = params.emb.shape[0]
-    if V % tp or params.head.w.shape[-1] % tp:
+    if V % tp or wv(params.head).shape[-1] % tp:
         raise ValueError(
             f"tp_step needs the (padded) vocab divisible by model={tp}; "
             f"apply models.rwkv4.pad_vocab first (got {V})"
         )
     E = params.emb.shape[1]
-    ndimw = params.att.key.w.ndim
+    ndimw = wv(params.att.key).ndim
     pallas_ok = (
-        params.att.key.w.dtype == jnp.int8
+        wv(params.att.key).dtype == jnp.int8
         and ndimw in (3, 4)
         and E % tp == 0
         and (E // tp) % 128 == 0
         # pretiled [L, O/t, E, t]: the block dim must shard evenly
-        and (ndimw == 3 or params.att.key.w.shape[1] % tp == 0)
+        and (ndimw == 3 or wv(params.att.key).shape[1] % tp == 0)
     )
+    if q4 and body in ("xla", "pallas"):
+        raise ValueError(
+            "4-bit params run only through body='fused' (the xla/pallas "
+            "bodies stream Q8); quantize with quantize_params for those")
+    if q4 and body is None and not pallas_ok:
+        raise ValueError(
+            f"4-bit tp_step needs E/tp lane-aligned (E={E}, tp={tp})")
+    if q4:
+        body = "fused"
     if body is None:
         if pallas_ok:
             # On a real TPU backend the in-kernel-collective whole-stack
@@ -320,7 +348,8 @@ def make_tp_step(mesh: Mesh, params: RWKVParams, *, body: str | None = None,
             raise ValueError(
                 f"body={body!r} requires signed int8 weights "
                 "(models.rwkv4.signedize_params) and E/tp a multiple of "
-                f"128 (got dtype={params.att.key.w.dtype}, E={E}, tp={tp})"
+                f"128 (got dtype={wv(params.att.key).dtype}, E={E}, "
+                f"tp={tp})"
             )
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
@@ -393,7 +422,7 @@ def _tp_seq_local(params, tokens, state, length, *, n_model: int,
     bonus_loc = _local_slice(params.att.bonus, n_model, ax)
 
     def mm(a, lin):
-        return qmatmul(a, lin, compute_dtype=compute_dtype)
+        return _anyqmm(a, lin, compute_dtype=compute_dtype)
 
     def block(x, layer):
         (ln1, ln2, att, ffn, w_loc, u_loc), (xy, aa, bb, pp, dd) = layer
@@ -439,8 +468,10 @@ def make_tp_prefill(mesh: Mesh, params: RWKVParams, *,
     state) batched ragged prefill under shard_map with the minimal
     collective schedule. Same param/state layouts as make_tp_step, so an
     engine mixes TP prefill and TP decode on one resident state pool."""
+    from rwkv_tpu.ops.quant import Quant4Linear
+
     tp = mesh.shape["model"]
-    if not isinstance(params.att.key, QuantLinear):
+    if not isinstance(params.att.key, (QuantLinear, Quant4Linear)):
         raise TypeError("tp prefill requires quantized params")
     V = params.emb.shape[0]
     if V % tp:

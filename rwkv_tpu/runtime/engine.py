@@ -89,10 +89,12 @@ class RWKV:
         # in BENCH_NOTES round 3); True/False forces it either way.
         self._tp_pretile = tp_pretile
         # 'q8' (reference Q8_0 parity) or 'q4' (nibble-packed 4-bit:
-        # half the HBM bytes/token, 1.4-1.9x decode, fits 14B on one
-        # 16GB chip — BENCH_NOTES round-4). q4 ingest needs a DENSE
-        # source (.pth/.safetensors); .bin files are Q8-quantized
-        # already and restacking 4-bit on top would double the noise.
+        # half the HBM bytes/token, 1.4-1.9x decode, 14B in ~7GB —
+        # BENCH_NOTES round-4). q4 ingest needs a DENSE source
+        # (.pth/.safetensors); .bin files are Q8-quantized already and
+        # restacking 4-bit on top would double the noise. Under
+        # sharding, q4 runs the fused in-kernel-RDMA TP body with the
+        # tile the families were packed for.
         if quant not in ("q8", "q4"):
             raise ValueError(f"quant must be 'q8' or 'q4', got {quant!r}")
         self.quant = quant
@@ -129,8 +131,23 @@ class RWKV:
             # pytree, not 2x dense float32 — a 14B stays ~15 GB);
             # load_params then applies the same pad/signedize/pretile/shard
             # policies the .bin path gets from read_bin.
+            q4_tile = None
+            if self.quant == "q4" and self._sharding is not None:
+                # the pack block must equal the TP kernel tile, which
+                # depends on the mesh width + serving batch: pick it from
+                # the checkpoint dims BEFORE the streaming quantize
+                from rwkv_tpu.io.convert import checkpoint_dims
+                from rwkv_tpu.ops.pallas.decode_stack_tp import (
+                    pick_tp_fused_tile)
+
+                mesh = getattr(self._sharding, "mesh", self._sharding)
+                tp = mesh.shape["model"]
+                _, E, _ = checkpoint_dims(path)
+                bp = max(8, -(-self.max_streams // 8) * 8)
+                q4_tile = pick_tp_fused_tile(E, E // tp, tp, bp=bp, q4=True)
             self.load_params(load_checkpoint_quantized(
-                path, bits=4 if self.quant == "q4" else 8))
+                path, bits=4 if self.quant == "q4" else 8,
+                q4_tile=q4_tile))
             return
         if self.quant == "q4":
             raise ValueError(
@@ -254,12 +271,6 @@ class RWKV:
 
         cfg = params.config
         q4 = isinstance(params.att.key, Quant4Linear)
-        if q4 and self._sharding is not None:
-            raise ValueError(
-                "4-bit params under sharding are not supported yet — the "
-                "TP kernels stream Q8; serve q4 single-chip (it fits 14B) "
-                "or load with quant='q8'"
-            )
         self._prefill_impl = None
         if use_fused is None:
             use_fused = (
@@ -306,13 +317,15 @@ class RWKV:
                 else forward_step_fused
             )
         elif (self._sharding is not None
-                and isinstance(params.att.key, QuantLinear)):
+                and isinstance(params.att.key, (QuantLinear, Quant4Linear))):
             # Sharded quantized decode: the manual shard_map TP step
             # (parallel/tp_step.py) — 3L+2 collectives per token with fused
             # per-shard Pallas kernels when E/tp is lane-aligned (auto body
             # selection; XLA matvec body otherwise). This is what serving
             # runs; the GSPMD fallback (~8 collectives/block) remains only
-            # for dense (unquantized) params.
+            # for dense (unquantized) params. 4-bit families run ONLY the
+            # fused body (tp_step forces it) with the tile they were
+            # packed for.
             import math
 
             from rwkv_tpu.models.rwkv4 import pad_vocab, signedize_params
@@ -324,10 +337,11 @@ class RWKV:
             # body's head tiling needs it): repad unless Vp % (128*tp)==0
             # — lcm(128, tp) was wrong (50688 at tp=8 passed it with a
             # misaligned 6336-wide shard)
-            if params.head.w.shape[-1] % (128 * tp):
+            head_w = params.head.wp if q4 else params.head.w
+            if head_w.shape[-1] % (128 * tp):
                 params = pad_vocab(params, multiple=math.lcm(512, 128 * tp))
                 cfg = params.config
-            params = signedize_params(params)
+            params = signedize_params(params)  # q4 leaves pass through
             # contiguous-block layout for the fused TP kernel when it
             # will actually run (TPU backend, lane-aligned shards) AND
             # the engine serves batches (max_streams >= 8): at B=1 the
@@ -338,13 +352,16 @@ class RWKV:
             # Skipped when the loader already pretiled host-side
             # (load_file passes 4-D weights through read_bin(pretile=)).
             est = cfg.n_layer * 13 * cfg.n_embd ** 2 + 50688 * cfg.n_embd
+            if q4:
+                est //= 2
             want_pt = (self.max_streams >= 8 if self._tp_pretile is None
                        else self._tp_pretile)
+            kw = (params.att.key.wp if q4 else params.att.key.w)
             if (jax.default_backend() not in ("cpu",)
                     and self._tp_body in (None, "fused")
                     and want_pt
-                    and params.att.key.w.ndim == 3
-                    and params.att.key.w.dtype == jnp.int8
+                    and kw.ndim == 3
+                    and kw.dtype == jnp.int8
                     and cfg.n_embd % tp == 0
                     and (cfg.n_embd // tp) % 128 == 0
                     and cfg.n_ffn % tp == 0
@@ -355,18 +372,27 @@ class RWKV:
                     pick_tp_fused_tile)
 
                 bp = max(8, -(-self.max_streams // 8) * 8)
-                try:
-                    params = pretile_params(params, tile=pick_tp_fused_tile(
-                        cfg.n_embd, cfg.n_embd // tp, tp, bp=bp))
-                except ValueError:
-                    pass  # no feasible tile at this bp: keep 3-D
+                if q4:
+                    # the pack block IS the tile — pretile with it (a
+                    # different pick would fail the kernel's block check)
+                    params = pretile_params(
+                        params, tile=params.att.output.block)
+                else:
+                    try:
+                        params = pretile_params(
+                            params, tile=pick_tp_fused_tile(
+                                cfg.n_embd, cfg.n_embd // tp, tp, bp=bp))
+                    except ValueError:
+                        pass  # no feasible tile at this bp: keep 3-D
             # commit the TP layout once (no-op if read_bin already placed
             # shards; prevents a full reshard on every decode step for
             # in-memory load_params callers)
             from rwkv_tpu.parallel.sharding import shard_params as _commit
 
             params = _commit(params, mesh)
-            self._step_fn = make_engine_step(mesh, params, body=self._tp_body)
+            self._step_fn = make_engine_step(
+                mesh, params, body=self._tp_body,
+                tile=params.att.output.block if q4 else None)
             # sharded prefill: same minimal collective schedule + layouts
             # as the decode step (vs GSPMD's ~8 collectives per block)
             from rwkv_tpu.parallel.tp_step import make_engine_prefill

@@ -438,3 +438,80 @@ def test_tp8_fused_probe_subprocess():
     assert result["parity"] == "pass"
     assert result["races_found"] is False
     assert result["collectives"] == {"all-gather": 1}
+
+
+@pytest.fixture(scope="module")
+def model_q4():
+    from rwkv_tpu.models.rwkv4 import quantize_params_q4
+
+    cfg = RWKVConfig.tiny_test(n_layer=2, n_embd=256, vocab_size=300)
+    # tile=128 = E/tp at tp=2 (the TP kernel tile must divide E_loc)
+    params = pad_vocab(
+        quantize_params_q4(init_params(jax.random.PRNGKey(0), cfg),
+                           tile=128),
+        multiple=256,
+    )
+    return cfg, params
+
+
+def test_q4_tp2_fused_parity(model_q4):
+    """4-bit weights through the in-kernel-RDMA TP body at tp=2: packed
+    blocks stream at half the bytes, _dot4/_fold4 run per shard, and the
+    exchanges are unchanged f32 partials. Race detector on; exactly one
+    XLA collective (the logits gather)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, params = model_q4
+    mesh = make_mesh(model=2, data=1)
+    B = 2
+    state = init_state(cfg, (B,))
+    tok = jnp.asarray([3, 150], jnp.int32)
+    l_ref, s_ref = forward_step(params, tok, state)
+
+    p_sh = shard_params(params, mesh)
+    st_sh = shard_state(state, mesh, batched=True)
+    step = make_tp_step(mesh, params, body="fused",
+                        interpret=pltpu.InterpretParams(detect_races=True))
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = step(p_sh, tok, st_sh)
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+    _assert_no_races()
+    _assert_one_collective(step, p_sh, tok, st_sh)
+
+
+def test_q4_tp_body_guards(model_q4):
+    """q4 params only run the fused body; xla/pallas bodies reject."""
+    cfg, params = model_q4
+    mesh = make_mesh(model=2, data=1)
+    with pytest.raises(ValueError, match="fused"):
+        make_tp_step(mesh, params, body="xla")
+    with pytest.raises(ValueError, match="fused"):
+        make_tp_step(mesh, params, body="pallas")
+
+
+def test_q4_tp_prefill_parity(model_q4):
+    """Sharded q4 prefill (XLA q4matmul per shard, minimal collective
+    schedule) matches the unsharded oracle."""
+    from rwkv_tpu.models.rwkv4 import forward_seq
+    from rwkv_tpu.parallel.tp_step import make_engine_prefill
+
+    cfg, params = model_q4
+    mesh = make_mesh(model=2, data=1)
+    toks = jnp.asarray([5, 77, 299, 1, 8], jnp.int32)
+    state = init_state(cfg)
+    l_ref, s_ref = forward_seq(params, toks, state)
+
+    p_sh = shard_params(params, mesh)
+    prefill = make_engine_prefill(mesh, params)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = prefill(p_sh, toks, state,
+                             jnp.asarray(len(toks), jnp.int32))
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)

@@ -68,17 +68,29 @@ def test_q4_bin_load_rejected(tmp_path):
         eng.load_file(p)
 
 
-def test_q4_sharded_rejected():
+def test_q4_sharded_engine_generates():
+    """Sharded q4 serving end-to-end: RWKV on a tp=2 mesh with 4-bit
+    params decodes through the fused in-kernel-RDMA body (interpret mode
+    on the CPU test mesh) and matches the single-chip q4 engine's greedy
+    stream."""
     from rwkv_tpu.parallel.mesh import make_mesh
     from rwkv_tpu.parallel.sharding import ShardingContext
 
+    cfg = RWKVConfig.tiny_test(n_layer=2, n_embd=256, vocab_size=300)
+    params = quantize_params_q4(init_params(jax.random.PRNGKey(5), cfg),
+                                tile=128)
+
+    ref = RWKV(quant="q4")
+    ref.load_params(params)
+    ref.load_tokenizer()
+    want = ref.generate("Hi", max_tokens=3, temp=0.0)
+
     eng = RWKV(sharding=ShardingContext(make_mesh(model=2, data=1)),
                quant="q4")
-    cfg = RWKVConfig.tiny_test(n_layer=1, n_embd=64, vocab_size=300)
-    with pytest.raises(ValueError, match="sharding"):
-        eng.load_params(
-            quantize_params_q4(init_params(jax.random.PRNGKey(0), cfg),
-                               tile=64))
+    eng.load_params(params)
+    eng.load_tokenizer()
+    got = eng.generate("Hi", max_tokens=3, temp=0.0)
+    assert got == want
 
 
 def test_q4_safetensors_ingest(tmp_path):
