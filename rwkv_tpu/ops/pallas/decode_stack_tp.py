@@ -461,6 +461,13 @@ def pick_tp_fused_tile(n_embd: int, e_loc: int, tp: int, bp: int = 8,
     # 768*768, 1024*512, 2048*256 (t=512 is 11% slower at 1.5B),
     # 4096*128 all land there; the VMEM budget walk below converges to
     # it naturally once full-width is excluded above e_loc=768.
+    # q4 note (measured, tp=1 430M): the packed-block-plateau intuition
+    # ("q4 blocks are half the bytes, go one tile notch wider") is WRONG
+    # for this kernel — full-width at e_loc=1024 q4 is 2,241 tok/s vs
+    # 2,424 at t=512. The TP kernel's overlap structure (gate/exchange
+    # scheduling across grid steps) needs the extra steps, same as q8's
+    # round-3 "never full-width above e_loc=768" finding. One rule for
+    # both formats.
     if e_loc <= 768:
         cands = (e_loc, 512, 384, 256, 128)
     else:
