@@ -295,3 +295,28 @@ def test_prng_key_np_matches_jax():
               2**63 - 1, -1, -123456]:
         np.testing.assert_array_equal(
             np.asarray(jax.random.PRNGKey(s)), prng_key_np(s), str(s))
+
+
+def test_pool_q4_params(pool_setup):
+    """Continuous batching over 4-bit packed weights (the one-chip big-model
+    serving config: BENCH_NOTES round-4 batched-q4 table). The pool is
+    format-agnostic — q4 params flow through the same step/prefill fns —
+    and a request's output must stay independent of its batchmates."""
+    from rwkv_tpu.models.rwkv4 import quantize_params_q4
+
+    _, tok = pool_setup
+    cfg = RWKVConfig(n_layer=2, n_embd=16)
+    q4 = quantize_params_q4(init_params(jax.random.PRNGKey(11), cfg), tile=16)
+
+    solo = InferencePool(q4, tok, max_streams=4)
+    a = solo.submit("The capital", max_tokens=6, seed=42)
+    out_solo = solo.run()
+
+    packed = InferencePool(q4, tok, max_streams=4)
+    b = packed.submit("The capital", max_tokens=6, seed=42)
+    for i in range(3):
+        packed.submit(f"Noise {i}", max_tokens=6, seed=100 + i)
+    out_packed = packed.run()
+
+    assert out_solo[a] == out_packed[b]
+    assert isinstance(out_solo[a], str) and out_solo[a]
