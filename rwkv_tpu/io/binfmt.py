@@ -4,15 +4,20 @@ File format (converter/cpp_save_tensor.cpp:75-93): two little-endian int64
 (n_layer, n_embd) followed by the 46 registry tensors raw, in order. A model
 written by the reference converter loads here and vice versa.
 
-Reading is *streaming*: each tensor is memory-mapped and transferred to
-device individually, so peak host RAM is one tensor (the reference's
-"direct disk -> GPU, practically no RAM" property, rwkv.cu:672-711 —
-here disk -> HBM via mmap + device_put). With a `sharding` argument each
-tensor lands directly in its distributed layout.
+Reading is *streaming*: each tensor is memory-mapped, copied out once,
+and its mapping closed before the next is touched, so the file never
+becomes resident in host RAM (the reference's "direct disk -> GPU,
+practically no RAM" property, rwkv.cu:672-711 — here disk -> HBM via
+per-tensor mmap + device_put). Host transient = one tensor plus
+whatever the PJRT client holds for in-flight transfers (bounded by
+RWKV_TPU_LOAD_FLUSH_BYTES); measured numbers in tools/load_rss_probe.py
+/ BENCH_NOTES. With a `sharding` argument each tensor lands directly in
+its distributed layout.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -38,15 +43,24 @@ def read_header(path: str) -> RWKVConfig:
     return RWKVConfig(n_layer=int(hdr[0]), n_embd=int(hdr[1]), vocab_size=VOCAB)
 
 
-def _mmap_tensors(path: str, cfg: RWKVConfig) -> dict[str, np.ndarray]:
-    """Memory-map every registry tensor (zero-copy until touched)."""
-    a, b = cfg.n_layer, cfg.n_embd
-    out = {}
-    for (name, off, nbytes), spec in zip(file_layout(a, b), REGISTRY):
-        arr = np.memmap(path, dtype="<" + spec.dtype, mode="r",
-                        offset=off, shape=spec.shape(a, b))
-        out[name] = arr
-    return out
+def _take_tensor(path: str, layout: dict, name: str,
+                 dtype=None) -> np.ndarray:
+    """Read ONE registry tensor into an owned host array.
+
+    The tensor is memory-mapped, copied out (converting to `dtype` if
+    given), and the mapping is CLOSED before returning — so the file's
+    pages leave this process's resident set immediately instead of
+    accumulating until the whole checkpoint is resident (measured: the
+    hold-all-mmaps layout peaked at 2.4x file size in host RSS on a 1.5B
+    load; see tools/load_rss_probe.py)."""
+    off, spec = layout[name]
+    mm = np.memmap(path, dtype="<" + spec.dtype, mode="r",
+                   offset=off, shape=spec.shape)
+    arr = mm.astype(dtype) if dtype is not None else np.array(mm)
+    raw = mm._mmap
+    del mm                      # release the buffer export, then unmap
+    raw.close()
+    return arr
 
 
 def read_bin(
@@ -73,7 +87,11 @@ def read_bin(
     transient stays one tensor.
     """
     cfg = read_header(path)
-    t = _mmap_tensors(path, cfg)
+    a, b = cfg.n_layer, cfg.n_embd
+    layout = {
+        name: (off, spec._replace(shape=spec.shape(a, b)))
+        for (name, off, _), spec in zip(file_layout(a, b), REGISTRY)
+    }
 
     vpad = 0
     if pad_vocab_to:
@@ -84,44 +102,66 @@ def read_bin(
         def put(name, arr):
             return jax.device_put(jnp.asarray(arr))
 
+    _cpu = jax.default_backend() == "cpu"
+    # Drain the H2D pipeline after this many un-flushed uploaded bytes: a
+    # tiny D2H that DEPENDS on the last tensor bounds the host memory the
+    # transfer layer can hold for in-flight copies. The default only fires
+    # above ~4 GB uploaded (a 14B load drains ~3 times; smaller models
+    # never do) because each drain costs upload/disk overlap — measured
+    # 3.1x load wall time when draining every family on the tunneled TPU
+    # (whose client retains host mirrors for the buffer lifetime anyway;
+    # see tools/load_rss_probe.py and BENCH_NOTES).
+    _flush_thresh = int(os.environ.get("RWKV_TPU_LOAD_FLUSH_BYTES",
+                                       4 << 30))
+    _pending = [0]
+
+    def _flush(dev, nbytes):
+        _pending[0] += nbytes
+        if not _cpu and _pending[0] >= _flush_thresh:
+            np.asarray(dev[(0,) * dev.ndim])
+            _pending[0] = 0
+        return dev
+
+    def take(name, dtype=None):
+        return _take_tensor(path, layout, name, dtype)
+
     def f32(name):
-        return put(name, np.ascontiguousarray(t[name], dtype=np.float32))
+        return put(name, take(name, np.float32))
 
     COL_FAMILIES = ("km", "vm", "rm", "ffn_r", "ffn_k")
 
     def qlin(wname, rname, oname) -> QuantLinear:
-        w = t[wname]
+        w = take(wname)
         if wname == "head" and vpad:
-            w = np.pad(np.asarray(w), ((0, 0), (0, vpad)))
+            w = np.pad(w, ((0, 0), (0, vpad)))
         if pretile and wname in COL_FAMILIES:
             Lw, K, O = w.shape
             w = np.ascontiguousarray(
-                np.asarray(w).reshape(Lw, K, O // pretile, pretile)
-                .transpose(0, 2, 1, 3)
+                w.reshape(Lw, K, O // pretile, pretile).transpose(0, 2, 1, 3)
             )
-        return QuantLinear(
-            w=put(wname, np.ascontiguousarray(w)),
-            scale=f32(rname),
-            offset=f32(oname),
-        )
+        dev = _flush(put(wname, w), w.nbytes)
+        del w
+        return QuantLinear(w=dev, scale=f32(rname), offset=f32(oname))
 
-    ln = np.asarray(t["layernorms"], dtype=np.float32)  # [4(L+1), E]
+    ln = take("layernorms", np.float32)  # [4(L+1), E]
     L = cfg.n_layer
     # Packing (converter convert_model.py:30-46 / kernel offsets rwkv.cu:533):
     # rows 0,1 = ln0 w,b; rows 4i+2,4i+3 = ln1_i; rows 4i+4,4i+5 = ln2_i;
     # rows 4L+2,4L+3 = ln_out.
     idx = np.arange(L)
 
-    emb_host = np.ascontiguousarray(t["embed"], dtype=np.float32)
+    emb_host = take("embed", np.float32)
     logit_bias = None
     if vpad:
         emb_host = np.pad(emb_host, ((0, vpad), (0, 0)))
         bias = np.zeros((VOCAB + vpad,), np.float32)
         bias[VOCAB:] = -1e9
         logit_bias = put("logit_bias", bias)
+    emb_dev = _flush(put("embed", emb_host), emb_host.nbytes)
+    del emb_host
 
     params = RWKVParams(
-        emb=put("embed", emb_host),
+        emb=emb_dev,
         ln0=LNParams(put("ln0.w", ln[0]), put("ln0.b", ln[1])),
         ln1=LNParams(put("ln1.w", ln[4 * idx + 2]), put("ln1.b", ln[4 * idx + 3])),
         ln2=LNParams(put("ln2.w", ln[4 * idx + 4]), put("ln2.b", ln[4 * idx + 5])),
