@@ -198,6 +198,15 @@ def load_checkpoint_quantized(
 
     npf = _npf
 
+    def rel():
+        # drop the source mapping's resident pages between families so the
+        # dense checkpoint never accumulates in host RSS on top of the
+        # quantized pytree (a 14B bf16 source is ~28 GB; safetensors only —
+        # the torch .pth mmap has no release hook)
+        r = getattr(w, "release", None)
+        if r is not None:
+            r()
+
     def stack(fmt, transform=npf):
         return np.stack([transform(w[fmt.format(i)]) for i in range(L)])
 
@@ -216,6 +225,7 @@ def load_checkpoint_quantized(
                     scs = np.empty((L,) + q.scale.shape, np.float32)
                     ofs = np.empty((L,) + q.offset.shape, np.float32)
                 qs[i], scs[i], ofs[i] = q.wp, q.scale, q.offset
+            rel()
             return Quant4Linear(qs, scs, ofs, block=block)
         qs = scs = ofs = None
         for i in range(L):
@@ -225,6 +235,7 @@ def load_checkpoint_quantized(
                 scs = np.empty((L,) + q.scale.shape, np.float32)
                 ofs = np.empty((L,) + q.offset.shape, np.float32)
             qs[i], scs[i], ofs[i] = q.w, q.scale, q.offset
+        rel()
         return QuantLinear(qs, scs, ofs)
 
     params = RWKVParams(

@@ -101,6 +101,18 @@ class SafetensorsFile(Mapping):
     def dtype_of(self, name: str) -> str:
         return self._entries[name][0]
 
+    def release(self) -> None:
+        """Drop this mapping's resident pages (madvise MADV_DONTNEED).
+
+        Existing numpy views stay valid — the mapping is read-only and
+        file-backed, so dropped pages simply refault from page cache /
+        disk on next access. Streaming consumers call this between
+        passes so a multi-GB checkpoint doesn't accumulate in host RSS
+        (same discipline as binfmt._take_tensor; numbers in
+        tools/load_rss_probe.py)."""
+        if hasattr(self._mm, "madvise") and hasattr(mmap, "MADV_DONTNEED"):
+            self._mm.madvise(mmap.MADV_DONTNEED)
+
     def close(self) -> None:
         self._mm.close()
         self._f.close()
@@ -236,6 +248,9 @@ class CheckpointView(Mapping):
         if a.dtype != np.float32:
             a = a.astype(np.float32)
         return a
+
+    def release(self) -> None:
+        self._st.release()
 
 
 def open_checkpoint(path: str) -> CheckpointView:
