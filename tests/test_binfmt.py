@@ -122,3 +122,42 @@ def test_read_bin_pretile_matches(tmp_path, small_model):
     l1, _ = forward_step(a, jnp.asarray(3), st)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_take_tensor_streaming_discipline(small_model, tmp_path):
+    """Load-RSS pins (BENCH_NOTES round-4 "Host RAM during load"):
+    _take_tensor must hand back an OWNED array with its file mapping
+    already closed — holding 46 live memmaps made a 1.5B load 2.4x the
+    file size in host RSS — and the safetensors view's release() must
+    leave existing numpy views readable (pages refault)."""
+    from rwkv_tpu.io.binfmt import write_bin, _take_tensor, read_header
+    from rwkv_tpu.io.registry import REGISTRY, file_layout
+
+    cfg, params = small_model
+    path = str(tmp_path / "m.bin")
+    write_bin(path, params)
+    a, b = cfg.n_layer, cfg.n_embd
+    layout = {
+        name: (off, spec._replace(shape=spec.shape(a, b)))
+        for (name, off, _), spec in zip(file_layout(a, b), REGISTRY)
+    }
+    for name in ("km", "embed", "layernorms"):
+        arr = _take_tensor(path, layout, name)
+        assert arr.flags.owndata and arr.flags.writeable, name
+    conv = _take_tensor(path, layout, "decay", np.float32)
+    assert conv.dtype == np.float32 and conv.flags.owndata
+
+
+def test_safetensors_release_keeps_views_valid(tmp_path):
+    from rwkv_tpu.io.safetensors import SafetensorsFile, write_safetensors
+
+    ref = {"a": np.arange(64, dtype=np.float32).reshape(8, 8),
+           "b": np.full((4, 4), 3, dtype=np.int8)}
+    path = str(tmp_path / "t.safetensors")
+    write_safetensors(path, ref)
+    f = SafetensorsFile(path)
+    view = f["a"]                   # zero-copy view over the mapping
+    f.release()                     # drop resident pages
+    np.testing.assert_array_equal(view, ref["a"])   # refaults fine
+    np.testing.assert_array_equal(f["b"], ref["b"])  # fresh read too
+    f.release()                     # idempotent
