@@ -69,8 +69,17 @@ def read_bin(
     put: Optional[Callable[[str, np.ndarray], jax.Array]] = None,
     pad_vocab_to: Optional[int] = None,
     pretile: Optional[int] = None,
+    signed: bool = False,
 ) -> RWKVParams:
     """Load a reference-format .bin into RWKVParams (u8 QuantLinear weights).
+
+    `signed=True` re-centers each weight family to int8 ON THE HOST COPY
+    before upload (u8 x -> x-128 int8 is the in-place XOR-0x80 bit
+    pattern; offsets absorb +128*scale) — the Pallas kernels need int8,
+    and doing it at read time means the device NEVER holds u8 and s8
+    copies of a family at once. A 14B q8 is 13.5 GB of weights: the
+    old upload-then-signedize path ResourceExhausted a 16 GB chip
+    (tools/load_rss_probe.py caught it; engine.load_file passes True).
 
     `put(name, host_array) -> device array` customizes placement (e.g. a
     NamedSharding per tensor for TP loading); default is plain device_put.
@@ -134,6 +143,9 @@ def read_bin(
         w = take(wname)
         if wname == "head" and vpad:
             w = np.pad(w, ((0, 0), (0, vpad)))
+        if signed:
+            w ^= 0x80            # in place on the owned copy; pad bytes
+            w = w.view(np.int8)  # 0x00 -> -128, same as the device path
         if pretile and wname in COL_FAMILIES:
             Lw, K, O = w.shape
             w = np.ascontiguousarray(
@@ -141,7 +153,12 @@ def read_bin(
             )
         dev = _flush(put(wname, w), w.nbytes)
         del w
-        return QuantLinear(w=dev, scale=f32(rname), offset=f32(oname))
+        scale = take(rname, np.float32)
+        offset = take(oname, np.float32)
+        if signed:
+            offset += np.float32(128.0) * scale
+        return QuantLinear(w=dev, scale=put(rname, scale),
+                           offset=put(oname, offset))
 
     ln = take("layernorms", np.float32)  # [4(L+1), E]
     L = cfg.n_layer

@@ -29,6 +29,7 @@ dot; the Pallas kernel in ops/pallas/mm8.py does it explicitly with tiling.
 from __future__ import annotations
 
 import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -113,6 +114,19 @@ def to_signed(q: QuantLinear) -> QuantLinear:
     """
     if q.w.dtype == jnp.int8:
         return q
+    if isinstance(q.w, np.ndarray):
+        # host path: u8 x -> x-128 as int8 IS the XOR-0x80 bit pattern —
+        # one family-sized host copy, nothing touches the device (the
+        # .safetensors->quantize ingest signedizes before upload this way)
+        w = (q.w ^ np.uint8(0x80)).view(np.int8)
+        return QuantLinear(w=w, scale=q.scale,
+                           offset=q.offset + np.float32(128.0) * q.scale)
+    # device path: allocates a SECOND copy of the family on device while
+    # both pytrees are alive — at 14B (13.5 GB of weights) that
+    # ResourceExhausts a 16 GB chip, so every ingest route signedizes on
+    # the HOST instead (read_bin(signed=True) for .bin; the numpy branch
+    # above for the .safetensors quantizer). This branch remains for
+    # small/test pytrees that are already device-resident.
     w = (q.w.astype(jnp.int32) - 128).astype(jnp.int8)
     return QuantLinear(w=w, scale=q.scale, offset=q.offset + 128.0 * q.scale)
 

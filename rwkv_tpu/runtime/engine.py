@@ -216,8 +216,13 @@ class RWKV:
                             hdr.n_embd, hdr.n_embd // tp, tp, bp=bp)
                     except ValueError:
                         pretile = None  # no feasible tile at this bp
+        # signed=True: re-center u8->int8 on the host copy before upload —
+        # upload-then-signedize holds both copies on device and
+        # ResourceExhausts a 16GB chip at 14B (load_params' signedize
+        # then no-ops on the already-int8 families)
         self.load_params(
-            read_bin(path, put=put, pad_vocab_to=pad_to, pretile=pretile))
+            read_bin(path, put=put, pad_vocab_to=pad_to, pretile=pretile,
+                     signed=True))
 
     def _make_jits(self) -> None:
         step = self._step_fn

@@ -161,3 +161,29 @@ def test_safetensors_release_keeps_views_valid(tmp_path):
     np.testing.assert_array_equal(view, ref["a"])   # refaults fine
     np.testing.assert_array_equal(f["b"], ref["b"])  # fresh read too
     f.release()                     # idempotent
+
+
+def test_read_bin_signed_matches_device_signedize(small_model, tmp_path):
+    """read_bin(signed=True) must equal to_signed(read_bin()) exactly —
+    the host-side XOR-0x80 re-center exists because upload-then-signedize
+    holds u8+s8 copies of every family on device and ResourceExhausts a
+    16GB chip at 14B (tools/load_rss_probe.py caught it live)."""
+    from rwkv_tpu.io.binfmt import read_bin, write_bin
+    from rwkv_tpu.models.rwkv4 import signedize_params
+
+    cfg, params = small_model
+    path = str(tmp_path / "m.bin")
+    write_bin(path, params)
+
+    ref = signedize_params(read_bin(path, pad_vocab_to=512))
+    got = read_bin(path, pad_vocab_to=512, signed=True)
+    assert got.att.key.w.dtype == np.int8
+    assert got.head.w.dtype == np.int8
+    for x, y in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # and with the pretile layout on top
+    ref_pt = signedize_params(read_bin(path, pretile=8))
+    got_pt = read_bin(path, pretile=8, signed=True)
+    for x, y in zip(jax.tree.leaves(got_pt), jax.tree.leaves(ref_pt)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
