@@ -428,12 +428,29 @@ def main(argv=None):
     p.add_argument("pth", nargs="?", default=None,
                    help="input .pth or .safetensors checkpoint (BlinkDL or "
                         "HF-transformers naming; omit to pick via GUI dialog)")
-    p.add_argument("-o", "--out", default="model.bin", help="output .bin path")
+    p.add_argument("-o", "--out", default="model.bin", help="output path")
+    p.add_argument("--quant", choices=["q8", "q4"], default="q8",
+                   help="q8: reference-format Q8_0 .bin (default). "
+                        "q4: packed 4-bit .safetensors artifact "
+                        "(io/q4fmt.py) — quantize once, then "
+                        "RWKV(quant='q4').load_file() restarts without "
+                        "touching the dense source")
     args = p.parse_args(argv)
     if args.pth is None:
         args.pth = _pick_file_gui()
         if args.pth is None:
             p.error("no input checkpoint given and no GUI available")
+    if args.quant == "q4":
+        from rwkv_tpu.io.q4fmt import save_q4
+
+        if args.out == "model.bin":      # untouched default: fix the suffix
+            args.out = "model.q4.safetensors"
+        if not args.out.endswith(".safetensors"):
+            p.error("--quant q4 writes a .safetensors artifact; "
+                    f"give -o a .safetensors path (got {args.out})")
+        save_q4(args.out, load_checkpoint_quantized(args.pth, bits=4))
+        print(f"wrote packed q4 artifact {args.out}")
+        return
     convert(args.pth, args.out)
 
 

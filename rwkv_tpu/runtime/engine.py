@@ -117,13 +117,26 @@ class RWKV:
     # -- loading -------------------------------------------------------------
 
     def load_file(self, path: str, max_streams: Optional[int] = None) -> None:
-        """Load a .bin checkpoint (streaming, reference-format), or a
+        """Load a .bin checkpoint (streaming, reference-format), a
         .safetensors RWKV-v4 checkpoint (BlinkDL or HF-transformers naming,
-        torch-free — io/safetensors.py) quantized on the fly."""
+        torch-free — io/safetensors.py) quantized on the fly, or a packed
+        q4 artifact (io/q4fmt.py — `rwkv-tpu-convert --quant q4`; loads in
+        one streaming pass, no requantize, quant mode auto-selected)."""
         from rwkv_tpu.io.binfmt import read_bin
 
         if max_streams is not None:
             self.max_streams = max_streams
+        if path.endswith(".safetensors"):
+            from rwkv_tpu.io.q4fmt import is_q4_file, load_q4
+
+            if is_q4_file(path):
+                if self.quant not in (None, "q4", "q8"):
+                    raise ValueError(
+                        f"quant={self.quant!r} engine cannot load a packed "
+                        f"q4 artifact ({path})")
+                self.quant = "q4"
+                self.load_params(load_q4(path))
+                return
         if path.endswith((".safetensors", ".pth")):
             from rwkv_tpu.io.convert import load_checkpoint_quantized
 
