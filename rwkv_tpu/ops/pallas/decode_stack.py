@@ -500,6 +500,41 @@ def pretile_params(params: RWKVParams, tile: int | None = None) -> RWKVParams:
     )
 
 
+def auto_head_tile(n_embd: int, tile: int, vocab_padded: int, batch: int,
+                   q4: bool = False, fuse_embed: bool = False) -> int:
+    """decode_stack's head-tile auto-pick: pick_head_tile under a budget
+    that accounts the batch-scaled scratch where receipts show the
+    implicit q8 margin is gone.
+
+    q4 always subtracts the f32 activation scratch ((xcur + 5 xs + gate +
+    zacc + xs_h) [Bp, E] + offs) — its wider head tiles ate the q8
+    defaults' implicit margin from day one (7B scoped-VMEM OOM probes).
+
+    q8 subtracts it — plus the per-batch-element fused-embed emb-row
+    streams (2 buffers x [1, E] f32 each) — at E >= 4096 and past the
+    Bp=8 pad class, EXCEPT the fused-embed B=1 config. Receipts: every
+    B <= 8 config at E <= 2560 compiled and measured at the unsubtracted
+    picks (430M/1.5B/3B serving sweeps, BENCH_NOTES), so the margin holds
+    there; at E=5120 the fused-embed B=1 pick (ht=512) measured clean
+    (54.2 tok/s) but sits within ~100K of the cliff — the same pick under
+    a fused-embed B=8 OOMs scoped VMEM by 316K while ht=384 runs at
+    431.6 agg tok/s (BENCH_NOTES round-4). Unfused-embed at E >= 4096
+    was never compiled and models ~16.1M by those receipts, so only the
+    measured fused-B=1 config keeps the unsubtracted budget."""
+    budget = 15 * 1024 * 1024
+    bp_est = max(8, -(-batch // 8) * 8)
+    scratch = 9 * bp_est * n_embd * 4 + 8 * bp_est * 128 * 4
+    measured_margin = fuse_embed and batch == 1
+    if q4:
+        budget -= scratch
+    elif (n_embd >= 4096 and not measured_margin) or bp_est > 8:
+        budget -= scratch
+        if fuse_embed:
+            budget -= 2 * batch * n_embd * 4
+    return pick_head_tile(n_embd, tile, vocab_padded, vmem_budget=budget,
+                          q4=q4)
+
+
 def pick_head_tile(n_embd: int, tile: int, vocab_padded: int,
                    vmem_budget: int = 15 * 1024 * 1024,
                    q4: bool = False) -> int:
@@ -632,16 +667,8 @@ def decode_stack(
             raise TypeError("with_head requires a signed int8 head")
         Vp = wv(params.head).shape[-1]
         if head_tile is None:
-            budget = 15 * 1024 * 1024
-            if q4:
-                # q4's wider head tiles eat the margin the q8 defaults
-                # left implicitly: subtract the fixed f32 activation
-                # scratch ((xcur + 5 xs + gate + zacc + xs_h) [Bp, E] +
-                # offs) so the pick can't OOM scoped VMEM at E>=4096
-                bp_est = max(8, -(-B // 8) * 8)
-                budget -= 9 * bp_est * E * 4 + 8 * bp_est * 128 * 4
-            head_tile = pick_head_tile(E, tile, Vp, vmem_budget=budget,
-                                       q4=q4)
+            head_tile = auto_head_tile(E, tile, Vp, B, q4=q4,
+                                       fuse_embed=fuse_embed)
         if Vp % head_tile:
             raise ValueError(
                 f"with_head requires padded vocab {Vp} divisible by the "

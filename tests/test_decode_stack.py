@@ -135,6 +135,36 @@ def test_pick_tile_invariants():
             assert 14 * e * t + 2 * e * ht <= 15 * 1024 * 1024
 
 
+def test_auto_head_tile_batch_accounting():
+    """The q8 head-tile budget subtracts batch-scaled scratch exactly where
+    receipts demand it (BENCH_NOTES round-4): at 14B (E=5120) the
+    unsubtracted ht=512 pick OOMs scoped VMEM by 316K under a fused-embed
+    B=8 while ht=384 measures 431.6 agg tok/s; every measured-good pick
+    (B=1 at all sizes; B=8 at E<=2560) must be byte-identical to before."""
+    from rwkv_tpu.ops.pallas.decode_stack import auto_head_tile, pick_tile
+
+    vp = 50688
+    # the regression config: 14B fused-embed B=8 drops one notch
+    assert auto_head_tile(5120, pick_tile(5120), vp, 8,
+                          fuse_embed=True) == 384
+    # B=1 keeps every measured pick (the razor-thin 14B margin included)
+    for e, want in ((1024, 2816), (2048, 1536), (2560, 1152),
+                    (4096, 768), (5120, 512)):
+        assert auto_head_tile(e, pick_tile(e), vp, 1,
+                              fuse_embed=True) == want, e
+    # measured-good B=8 picks at E<=4096 unchanged (serving sweeps)
+    for e, want in ((1024, 2816), (2048, 1536), (2560, 1152), (4096, 768)):
+        assert auto_head_tile(e, pick_tile(e), vp, 8,
+                              fuse_embed=True) == want, e
+    # unfused embed at E>=4096 was never compiled and models over-budget
+    # at the old pick — it gets the accounted (safe) tile at any batch
+    for b in (1, 8):
+        assert auto_head_tile(5120, pick_tile(5120), vp, b,
+                              fuse_embed=False) == 384, b
+        assert auto_head_tile(4096, pick_tile(4096), vp, b,
+                              fuse_embed=False) == 768, b
+
+
 def test_engine_repads_unaligned_vocab():
     """In-memory params with a vocab that isn't lane-aligned: load_params
     must repad so the fused head can engage (and ban the padding)."""
