@@ -51,7 +51,7 @@ def synth(model: str, path: str) -> None:
                       "peak_rss_mb": round(peak_mb, 1)}))
 
 
-def load(path: str) -> None:
+def load(path: str, decode: int = 0) -> None:
     import jax  # noqa: F401  (platform from env — TPU by default here)
 
     from rwkv_tpu.runtime.engine import RWKV
@@ -62,7 +62,7 @@ def load(path: str) -> None:
     eng.load_file(path)
     wall = time.time() - t0
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-    print(json.dumps({
+    out = {
         "phase": "load", "file_gb": round(os.path.getsize(path) / 2**30, 2),
         "device": str(jax.devices()[0].device_kind),
         "wall_s": round(wall, 1),
@@ -70,7 +70,23 @@ def load(path: str) -> None:
         "peak_rss_mb": round(rss1, 1),
         "load_delta_mb": round(rss1 - rss0, 1),
         "n_layer": eng.config.n_layer, "n_embd": eng.config.n_embd,
-    }))
+    }
+    if decode:
+        # the rest of the reference journey at real scale: tokenizer +
+        # forward + typical sampling from the just-loaded engine
+        # (rwkv.h:339-388 + typical.h + chat.cpp:75-88)
+        eng.load_tokenizer()
+        # warm with the SAME chunk (the decode program is per-chunk-size)
+        eng.generate("The", max_tokens=8, chunk=8)
+        t1 = time.time()
+        text = eng.generate("The quick", max_tokens=decode, chunk=8)
+        dt = time.time() - t1
+        out.update({
+            "decode_tokens": decode,
+            "decode_tok_s": round(decode / dt, 2),
+            "text_chars": len(text),
+        })
+    print(json.dumps(out))
 
 
 def main() -> None:
@@ -81,6 +97,8 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--phase", choices=["synth", "load"], default=None,
                     help="internal: run one phase in THIS process")
+    ap.add_argument("--decode", type=int, default=0,
+                    help="after load, generate N tokens (full journey)")
     args = ap.parse_args()
     path = args.bin or f"/tmp/rss_probe_{args.model}.bin"
 
@@ -88,7 +106,7 @@ def main() -> None:
         synth(args.model, path)
         return
     if args.phase == "load":
-        load(path)
+        load(path, decode=args.decode)
         return
 
     me = os.path.abspath(__file__)
@@ -97,7 +115,8 @@ def main() -> None:
             print(f"# reusing {path}", file=sys.stderr)
             continue
         r = subprocess.run([sys.executable, me, "--model", args.model,
-                            "--bin", path, "--phase", phase])
+                            "--bin", path, "--phase", phase,
+                            "--decode", str(args.decode)])
         if r.returncode != 0:
             sys.exit(r.returncode)
     if not args.keep:
