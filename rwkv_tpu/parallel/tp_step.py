@@ -409,7 +409,11 @@ def _tp_seq_local(params, tokens, state, length, *, n_model: int,
     gather per call — amortized over all T tokens, vs the GSPMD prefill's
     ~8 collectives per block). The WKV associative scan is elementwise
     over channels, so it runs fully sharded with zero communication.
-    length: [B] ragged valid-token counts (padding positions are no-ops)."""
+    length: [B] ragged valid-token counts (padding positions are no-ops),
+    or None — every lane full — which drops the mask/carry-select ops
+    entirely (the FULL-CHUNK fast path: ~15-20% faster on chip, measured
+    in tools/prefill_overhead_probe.py; callers dispatch it per chunk
+    from host-known lengths)."""
     from rwkv_tpu.models.rwkv4 import _carry_valid, _last_valid
     from rwkv_tpu.ops.wkv import wkv_parallel
 
@@ -417,7 +421,8 @@ def _tp_seq_local(params, tokens, state, length, *, n_model: int,
     x = _embed_psum(params, tokens, ax, n_model)         # [T, B, E]
 
     T = x.shape[0]
-    mask = jnp.arange(T)[:, None] < length[None, :]      # [T, B]
+    mask = (None if length is None
+            else jnp.arange(T)[:, None] < length[None, :])   # [T, B]
     decay_loc = _local_slice(params.att.decay, n_model, ax)
     bonus_loc = _local_slice(params.att.bonus, n_model, ax)
 
@@ -463,11 +468,16 @@ def _tp_seq_local(params, tokens, state, length, *, n_model: int,
 
 
 def make_tp_prefill(mesh: Mesh, params: RWKVParams, *,
-                    compute_dtype=jnp.float32, jit: bool = True):
+                    compute_dtype=jnp.float32, jit: bool = True,
+                    masked: bool = True):
     """(params, tokens [T, B], state, length [B]) -> (logits [B, Vp],
     state) batched ragged prefill under shard_map with the minimal
     collective schedule. Same param/state layouts as make_tp_step, so an
-    engine mixes TP prefill and TP decode on one resident state pool."""
+    engine mixes TP prefill and TP decode on one resident state pool.
+
+    masked=False builds the FULL-CHUNK variant — (params, tokens, state)
+    with no length arg, every lane assumed full — which elides the ragged
+    mask/carry-select ops (~15-20% faster; prefill_overhead_probe)."""
     from rwkv_tpu.ops.quant import Quant4Linear
 
     tp = mesh.shape["model"]
@@ -481,9 +491,14 @@ def make_tp_prefill(mesh: Mesh, params: RWKVParams, *,
     sspecs = state_pspecs(batched=True, n_model=tp)
     fn = functools.partial(_tp_seq_local, n_model=tp,
                            compute_dtype=compute_dtype)
+    if masked:
+        in_specs = (pspecs, P(None, "data"), sspecs, P("data"))
+    else:
+        fn = functools.partial(fn, length=None)
+        in_specs = (pspecs, P(None, "data"), sspecs)
     sm = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(pspecs, P(None, "data"), sspecs, P("data")),
+        in_specs=in_specs,
         out_specs=(P("data", None), sspecs),
         check_vma=_CHECK_VMA,
     )
@@ -494,9 +509,16 @@ def make_engine_prefill(mesh: Mesh, params: RWKVParams, *,
                         compute_dtype=jnp.float32):
     """forward_seq-shape-compatible adapter over make_tp_prefill for the
     engine's prefill jits: tokens [T] or [T, B]; state leaves [L, E] or
-    [L, B, E]; scalar or [B] length; B padded to the data axis."""
+    [L, B, E]; scalar or [B] length; B padded to the data axis.
+
+    length=None dispatches the unmasked FULL-CHUNK program (every lane
+    carries exactly T valid tokens); batch-pad lanes then compute garbage
+    that is sliced away below — safe because their states/logits are
+    discarded, and callers only pass None when all REAL lanes are full."""
     sm = make_tp_prefill(mesh, params, compute_dtype=compute_dtype,
                          jit=False)
+    sm_full = make_tp_prefill(mesh, params, compute_dtype=compute_dtype,
+                              jit=False, masked=False)
     nd = mesh.shape["data"]
 
     def prefill(params, tokens, state, length):
@@ -505,14 +527,19 @@ def make_engine_prefill(mesh: Mesh, params: RWKVParams, *,
             tokens = tokens[:, None]
             state = jax.tree.map(lambda s: s[:, None], state)
         B = tokens.shape[1]
-        length = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (B,))
+        if length is not None:
+            length = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (B,))
         Bp = -(-B // nd) * nd
         if Bp != B:
             tokens = jnp.pad(tokens, ((0, 0), (0, Bp - B)))
             state = jax.tree.map(
                 lambda s: jnp.pad(s, ((0, 0), (0, Bp - B), (0, 0))), state)
-            length = jnp.pad(length, (0, Bp - B))
-        logits, st = sm(params, tokens, state, length)
+            if length is not None:
+                length = jnp.pad(length, (0, Bp - B))
+        if length is None:
+            logits, st = sm_full(params, tokens, state)
+        else:
+            logits, st = sm(params, tokens, state, length)
         if Bp != B:
             logits = logits[:B]
             st = jax.tree.map(lambda s: s[:, :B], st)

@@ -589,11 +589,17 @@ class RWKV:
                 bucket = next(b for b in self.prefill_buckets if b >= len(chunk))
                 padded = np.zeros((bucket,), np.int32)
                 padded[: len(chunk)] = chunk
+                # full-chunk fast path: an exactly-bucket-sized chunk (every
+                # non-final chunk of a long prompt) dispatches the unmasked
+                # program — no ragged mask/carry selects (~15-20% faster on
+                # chip; tools/prefill_overhead_probe.py)
+                length = (None if len(chunk) == bucket
+                          else jnp.asarray(len(chunk), jnp.int32))
                 logits, state = self._jit_prefill(
                     self.params,
                     jnp.asarray(padded),
                     state,
-                    length=jnp.asarray(len(chunk), jnp.int32),
+                    length=length,
                 )
         self.set_state(state, stream)
         self._last_logits[stream] = logits

@@ -334,9 +334,15 @@ class InferencePool:
                 part = seq[c0:c0 + K]
                 chunk[: len(part), b] = part
                 lens[b] = len(part)
+            # full-chunk fast path: when every REAL lane carries exactly K
+            # valid tokens, dispatch the unmasked program (length=None) —
+            # no ragged mask/carry selects (~15-20% faster; see
+            # tools/prefill_overhead_probe.py). Width-pad lanes (b >= n)
+            # then compute garbage that is never scattered (s[:, :n]).
+            full = all(len(seq) >= c0 + K for seq in ids)
             lg, batch_state = self._jit_prefill(
                 self.params, jnp.asarray(chunk),
-                jnp.asarray(lens, jnp.int32), batch_state,
+                None if full else jnp.asarray(lens, jnp.int32), batch_state,
             )
             # no host sync here: keep the device array; only the LAST
             # chunk with valid tokens per stream holds its final logits

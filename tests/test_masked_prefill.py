@@ -111,3 +111,35 @@ def test_zero_length_stream_state_untouched():
     for a, b in zip(st1, st0):
         np.testing.assert_allclose(np.asarray(a[:, 1]), np.asarray(b[:, 1]),
                                    rtol=0, atol=0)  # stream 1 untouched
+
+
+def test_full_chunk_unmasked_parity():
+    """length=None (the FULL-CHUNK fast path: no mask/carry selects) is
+    bit-identical to length=T — plain [T] and batched [T, B]."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rwkv_tpu.models.config import RWKVConfig
+    from rwkv_tpu.models.rwkv4 import (forward_seq, init_params, init_state,
+                                       quantize_params)
+
+    cfg = RWKVConfig.tiny_test(n_layer=2, n_embd=32, vocab_size=97)
+    params = quantize_params(init_params(jax.random.PRNGKey(2), cfg))
+    T, B = 8, 3
+    toks = jnp.asarray(np.arange(T) % 97, jnp.int32)
+
+    lm, sm = forward_seq(params, toks, init_state(cfg), parallel=True,
+                         length=jnp.asarray(T, jnp.int32))
+    lf, sf = forward_seq(params, toks, init_state(cfg), parallel=True)
+    np.testing.assert_array_equal(np.asarray(lm), np.asarray(lf))
+    for a, b in zip(sm, sf):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    toksB = jnp.stack([toks, (toks + 1) % 97, (toks + 2) % 97], 1)
+    lm, sm = forward_seq(params, toksB, init_state(cfg, (B,)), parallel=True,
+                         length=jnp.full((B,), T, jnp.int32))
+    lf, sf = forward_seq(params, toksB, init_state(cfg, (B,)), parallel=True)
+    np.testing.assert_array_equal(np.asarray(lm), np.asarray(lf))
+    for a, b in zip(sm, sf):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

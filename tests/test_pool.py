@@ -320,3 +320,30 @@ def test_pool_q4_params(pool_setup):
 
     assert out_solo[a] == out_packed[b]
     assert isinstance(out_solo[a], str) and out_solo[a]
+
+
+def test_full_chunk_admission_parity(pool_setup):
+    """Prompts that exactly fill every prefill chunk take the unmasked
+    FULL-CHUNK dispatch (length=None); slot states must match a standalone
+    sequential prefill, same as the ragged path."""
+    import jax.numpy as jnp
+
+    from rwkv_tpu.models.rwkv4 import forward_seq, init_state
+
+    params, tok = pool_setup
+    K = 4
+    pool = InferencePool(params, tok, max_streams=2, prefill_bucket=K)
+    for i in range(2):
+        pool.submit("x", max_tokens=2, seed=i)
+        # exact-length prompts (2 full chunks each) force full=True on
+        # every chunk of the admission loop
+        pool._queue[-1].prompt_ids = [(7 * i + j) % 500 for j in range(2 * K)]
+    pool._admit()
+    assert len(pool._by_slot) == 2
+    for slot, req in pool._by_slot.items():
+        ids = jnp.asarray(req.prompt_ids, jnp.int32)
+        _, st = forward_seq(params, ids, init_state(params.config),
+                            parallel=True)
+        for a, b in zip(pool._state, st):
+            np.testing.assert_allclose(np.asarray(a[:, slot]), np.asarray(b),
+                                       rtol=3e-4, atol=3e-4)

@@ -364,3 +364,58 @@ def test_tp1_prefill_elides_all_collectives(setup_tp1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
     assert _collective_counts(hlo) == {}, _collective_counts(hlo)
+
+
+def test_engine_prefill_full_chunk_parity(setup):
+    """make_engine_prefill(length=None) — the FULL-CHUNK fast path that
+    elides the ragged mask/carry selects — matches the masked program fed
+    full lengths, unbatched and batched (incl. a batch-pad lane)."""
+    from rwkv_tpu.models.rwkv4 import init_state
+    from rwkv_tpu.parallel.tp_step import make_engine_prefill
+
+    mesh, cfg, params = setup
+    p_sh = shard_params(params, mesh)
+    pre = jax.jit(make_engine_prefill(mesh, params))
+    T = 8
+    toks = jnp.asarray(np.arange(T) % cfg.vocab_size, jnp.int32)
+    with jax.sharding.set_mesh(mesh):
+        lm, sm = pre(p_sh, toks, init_state(cfg), jnp.asarray(T, jnp.int32))
+        lf, sf = pre(p_sh, toks, init_state(cfg), None)
+    np.testing.assert_array_equal(np.asarray(lm), np.asarray(lf))
+    for a, b in zip(sm, sf):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    B = 3  # pads to 4 on the data=2 axis: exercises the garbage-lane slice
+    toksB = jnp.stack([toks, (toks + 1) % cfg.vocab_size,
+                       (toks + 2) % cfg.vocab_size], 1)
+    with jax.sharding.set_mesh(mesh):
+        lm, sm = pre(p_sh, toksB, init_state(cfg, (B,)),
+                     jnp.full((B,), T, jnp.int32))
+        lf, sf = pre(p_sh, toksB, init_state(cfg, (B,)), None)
+    np.testing.assert_array_equal(np.asarray(lm), np.asarray(lf))
+    for a, b in zip(sm, sf):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tp1_full_chunk_prefill_elides_all_collectives(setup_tp1):
+    """The unmasked full-chunk program stays collective-free at tp=1."""
+    from rwkv_tpu.models.rwkv4 import forward_seq, init_state
+    from rwkv_tpu.parallel.tp_step import make_engine_prefill
+
+    mesh, cfg, params = setup_tp1
+    T, B = 8, 2
+    toks = jnp.asarray(
+        np.arange(T * B).reshape(T, B) % cfg.vocab_size, jnp.int32)
+    state = init_state(cfg, (B,))
+    l_ref, s_ref = forward_seq(params, toks, state, parallel=True)
+    p_sh = shard_params(params, mesh)
+    pre = make_engine_prefill(mesh, params)
+    with jax.sharding.set_mesh(mesh):
+        l_tp, s_tp = jax.jit(pre)(p_sh, toks, state, None)
+        hlo = jax.jit(pre).lower(p_sh, toks, state, None).compile().as_text()
+    np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_ref),
+                               rtol=5e-4, atol=5e-4)
+    for a, b in zip(s_tp, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+    assert _collective_counts(hlo) == {}, _collective_counts(hlo)

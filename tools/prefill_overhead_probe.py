@@ -39,17 +39,24 @@ from rwkv_tpu.parallel.mesh import make_mesh
 from rwkv_tpu.parallel.tp_step import make_engine_prefill, make_tp_prefill
 
 
-def slope_time(run4, run8, reps):
-    """Best-of-reps slope between 4- and 8-chunk scans (tunnel floor)."""
-    np.asarray(run4())  # compile
-    np.asarray(run8())
+N_LO = int(os.environ.get("PROBE_CHUNKS_LO", "8"))
+N_HI = int(os.environ.get("PROBE_CHUNKS_HI", "40"))
+
+
+def slope_time(run_lo, run_hi, reps):
+    """Best-of-reps slope between N_LO- and N_HI-chunk scans. The slope
+    span (N_HI-N_LO chunks, >=150ms at 430M/T=512) must dwarf the ~30ms
+    tunnel dispatch floor or variant ratios drown in noise (the round-4
+    4-vs-8 version measured plain variants +/-25% run to run)."""
+    np.asarray(run_lo())  # compile
+    np.asarray(run_hi())
     b1 = b2 = float("inf")
     for _ in range(reps):
-        t0 = time.perf_counter(); np.asarray(run4())
+        t0 = time.perf_counter(); np.asarray(run_lo())
         b1 = min(b1, time.perf_counter() - t0)
-        t0 = time.perf_counter(); np.asarray(run8())
+        t0 = time.perf_counter(); np.asarray(run_hi())
         b2 = min(b2, time.perf_counter() - t0)
-    return max(b2 - b1, 1e-9) / 4  # seconds per chunk
+    return max(b2 - b1, 1e-9) / (N_HI - N_LO)  # seconds per chunk
 
 
 def make_runner(seq_fn, params, toks, state):
@@ -59,10 +66,10 @@ def make_runner(seq_fn, params, toks, state):
             return st, logits[..., 0]
         st, lg = jax.lax.scan(body, state, None, length=n_chunks)
         return st, lg
-    r4 = jax.jit(ft.partial(ingest, n_chunks=4))
-    r8 = jax.jit(ft.partial(ingest, n_chunks=8))
-    return (lambda: r4(params, toks, state)[1][-1],
-            lambda: r8(params, toks, state)[1][-1])
+    r_lo = jax.jit(ft.partial(ingest, n_chunks=N_LO))
+    r_hi = jax.jit(ft.partial(ingest, n_chunks=N_HI))
+    return (lambda: r_lo(params, toks, state)[1][-1],
+            lambda: r_hi(params, toks, state)[1][-1])
 
 
 def main():
@@ -86,6 +93,18 @@ def main():
     def plain_T(p, tk, st):
         return forward_seq(p, tk, st, parallel=True, compute_dtype=cdt)
     variants["plain_T"] = (plain_T, params, toks, init_state(cfg))
+
+    # 1b. plain [T] + scalar length (mask machinery only, no batch dim)
+    def plain_Tlen(p, tk, st):
+        return forward_seq(p, tk, st, parallel=True,
+                           length=jnp.asarray(T, jnp.int32),
+                           compute_dtype=cdt)
+    variants["plain_Tlen"] = (plain_Tlen, params, toks, init_state(cfg))
+
+    # 1c. plain [T,1], no length (batch dim only, no mask)
+    def plain_B(p, tk, st):
+        return forward_seq(p, tk, st, parallel=True, compute_dtype=cdt)
+    variants["plain_B"] = (plain_B, params, toksB, init_state(cfg, (1,)))
 
     # 2. plain [T,1] + ragged length vector
     def plain_rag(p, tk, st):
@@ -120,8 +139,8 @@ def main():
             print(f"[{vname}] {tok_s:,.1f} tok/s ({tok_s/base:.3f}x)",
                   flush=True)
     out["ratios"] = {k: round(out[k] / out["plain_T"], 4)
-                     for k in ("plain_T", "plain_rag", "tp_direct",
-                               "tp_engine")}
+                     for k in ("plain_T", "plain_Tlen", "plain_B",
+                               "plain_rag", "tp_direct", "tp_engine")}
     print(json.dumps(out), flush=True)
 
 
