@@ -126,6 +126,13 @@ def main():
         return eng(p, tk, st, jnp.asarray(T, jnp.int32))
     variants["tp_engine"] = (tp_engine, sparams, toks, init_state(cfg))
 
+    # 5. engine adapter, FULL-CHUNK fast path (length=None — what the
+    # serving stack now dispatches for every exactly-full chunk)
+    def tp_engine_full(p, tk, st):
+        return eng(p, tk, st, None)
+    variants["tp_engine_full"] = (tp_engine_full, sparams, toks,
+                                  init_state(cfg))
+
     out = {"probe": "prefill_overhead", "model": name, "T": T, "prec": prec}
     base = None
     with jax.sharding.set_mesh(mesh):
@@ -140,7 +147,8 @@ def main():
                   flush=True)
     out["ratios"] = {k: round(out[k] / out["plain_T"], 4)
                      for k in ("plain_T", "plain_Tlen", "plain_B",
-                               "plain_rag", "tp_direct", "tp_engine")}
+                               "plain_rag", "tp_direct", "tp_engine",
+                               "tp_engine_full")}
     print(json.dumps(out), flush=True)
 
 
