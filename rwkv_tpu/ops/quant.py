@@ -253,21 +253,54 @@ def q4matmul(
     q: Quant4Linear,
     *,
     compute_dtype=jnp.float32,
+    variant: str = "two_dot",
 ) -> jax.Array:
     """y = x @ dequant4(q) via the rank-1 decomposition (XLA path).
 
     x: [..., K]. Returns [..., O] float32. Same identity as qmatmul:
-    y = (x*r) @ centered + x . offset."""
-    xs = (x * q.scale).astype(compute_dtype)
+    y = (x*r) @ centered + x . offset.
+
+    variant="two_dot" (default) is the XLA port of the decode kernel's
+    identity (ops/pallas/mm4.py): never materialize the [K, O] dense
+    unpack — fold the high-half activations into the low half and run
+    two depth-K/2 dots against (wp & 0xF) and wp itself,
+
+        y = (a_lo - a_hi/16) @ low + (a_hi/16) @ pb - 8*rowsum(a_lo),
+
+    where a_lo/a_hi are the xs entries feeding each block's low/high
+    nibble rows (a reshape — the packing is block-major, Quant4Linear
+    docstring). Weight-side HBM work drops from writing+reading a
+    2-byte/weight dense copy to one 0.5-byte/weight nibble array plus
+    the packed bytes' fused widening: measured 1.92x q4 prefill at 7B,
+    BENCH_NOTES round-4. variant="unpack" keeps the dense-unpack dot
+    (the dequantize4 oracle's shape; tests pin the two variants equal
+    to bf16 rounding)."""
+    xs = x * q.scale
     prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    w = unpack4(q.wp, q.block).astype(compute_dtype)
-    main = jax.lax.dot_general(
-        xs, w,
-        dimension_numbers=(((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )
+    kw = dict(preferred_element_type=jnp.float32, precision=prec)
+    if variant == "two_dot":
+        K = x.shape[-1]
+        b = K if q.block is None else q.block
+        x4 = xs.reshape(*xs.shape[:-1], K // b, b)
+        xl = x4[..., : b // 2]                       # low-nibble rows
+        xh = x4[..., b // 2:] / 16.0                 # high: fold the *16
+        A1 = (xl - xh).reshape(*xs.shape[:-1], K // 2).astype(compute_dtype)
+        A2 = xh.reshape(*xs.shape[:-1], K // 2).astype(compute_dtype)
+        low = (q.wp & 0xF).astype(compute_dtype)     # q_lo in [0, 15]
+        pb = q.wp.astype(compute_dtype)              # 16*(q_hi-8) + q_lo
+        dn = (((x.ndim - 1,), (low.ndim - 2,)), ((), ()))
+        main = (jax.lax.dot_general(A1, low, dimension_numbers=dn, **kw)
+                + jax.lax.dot_general(A2, pb, dimension_numbers=dn, **kw)
+                - 8.0 * jnp.sum(xl, axis=(-2, -1), dtype=jnp.float32,
+                                )[..., None])
+    else:
+        w = unpack4(q.wp, q.block).astype(compute_dtype)
+        main = jax.lax.dot_general(
+            xs.astype(compute_dtype), w,
+            dimension_numbers=(((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
+            **kw,
+        )
     off = jnp.einsum("...i,...i->...", x, q.offset)[..., None]
     return (main + off).astype(jnp.float32)
 

@@ -104,6 +104,25 @@ def test_q4matmul_equals_dense_on_dequant(rng):
     np.testing.assert_allclose(y_fast, y_ref, rtol=2e-4, atol=2e-4)
 
 
+def test_q4matmul_two_dot_equals_unpack(rng):
+    """The XLA two-dot identity (default; no dense materialization) must
+    match the dense-unpack dot — f32 near-exactly, bf16 to dot rounding —
+    for both global and blocked packings (q4matmul docstring)."""
+    x = rng.normal(size=(5, 128)).astype(np.float32)
+    w = rng.normal(size=(128, 48)).astype(np.float32)
+    for block in (None, 32):
+        q = quantize4(w, block=block)
+        xd = jnp.asarray(x)
+        y_td = np.asarray(q4matmul(xd, q, variant="two_dot"))
+        y_up = np.asarray(q4matmul(xd, q, variant="unpack"))
+        np.testing.assert_allclose(y_td, y_up, rtol=2e-4, atol=2e-4)
+        y_td16 = np.asarray(q4matmul(xd, q, variant="two_dot",
+                                     compute_dtype=jnp.bfloat16))
+        y_up16 = np.asarray(q4matmul(xd, q, variant="unpack",
+                                     compute_dtype=jnp.bfloat16))
+        np.testing.assert_allclose(y_td16, y_up16, rtol=3e-2, atol=3e-1)
+
+
 def test_q4_stacked_layer_dim(rng):
     from rwkv_tpu.ops.quant import Quant4Linear
 

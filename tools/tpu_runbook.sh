@@ -3,13 +3,13 @@
 # moment the TPU tunnel returns (CLAUDE.md outage pattern). Sequential —
 # never two TPU processes at once. Outputs land in runbook_out/.
 #
-# Queue (BENCH_NOTES.md "Round-4 findings"):
-#   1. prefill_overhead_probe — decompose the tp=1 sharded-prefill gap
-#      (plain -> ragged -> shard_map -> adapter) after the collective
-#      elision fix (VERDICT round-3 ask #7).
-#   2. cache_warm_probe — cold vs warm serving start for the persistent
-#      compile cache at the 430M/B=16 pretiled config (ask #3).
-#   3. bench.py default — 430M fused decode headline regression point.
+# Queue (BENCH_NOTES.md "Round-4 findings"; earlier queue ran 2026-08-18):
+#   1. q4_prefill_probe at 430M — the two-dot XLA q4matmul "after" cell
+#      still pending in the Q4-prefill table (tunnel dropped mid-compile;
+#      7B landed at 9,742 tok/s = 0.952x q8 before the outage).
+#   2. bench.py default — 430M fused decode headline regression point
+#      (decode path untouched by the q4matmul XLA change; regression
+#      guard only).
 set -u
 cd "$(dirname "$0")/.."
 # python script runs put the SCRIPT dir on sys.path, not cwd — the repo
@@ -30,7 +30,6 @@ run() {
   return $rc
 }
 
-run prefill_overhead 1800 python tools/prefill_overhead_probe.py
-run cache_warm 5400 python tools/cache_warm_probe.py
+run q4_prefill_430m 1800 python tools/q4_prefill_probe.py
 run bench 1800 python bench.py
 echo "RUNBOOK DONE $stamp" | tee -a "runbook_out/runbook_${stamp}.log"
