@@ -248,22 +248,28 @@ def dequantize4(q: Quant4Linear, dtype=jnp.float32) -> jax.Array:
     )
 
 
+# q4matmul auto-variant crossover (contraction width): measured two_dot
+# wins at K=4096 (7B widths) and loses at K=1024 (430M); 2048 untested —
+# kept on the unpack side until a 1.5B probe says otherwise.
+_Q4_TWO_DOT_MIN_K = 4096
+
+
 def q4matmul(
     x: jax.Array,
     q: Quant4Linear,
     *,
     compute_dtype=jnp.float32,
-    variant: str = "two_dot",
+    variant: str = "auto",
 ) -> jax.Array:
     """y = x @ dequant4(q) via the rank-1 decomposition (XLA path).
 
     x: [..., K]. Returns [..., O] float32. Same identity as qmatmul:
     y = (x*r) @ centered + x . offset.
 
-    variant="two_dot" (default) is the XLA port of the decode kernel's
-    identity (ops/pallas/mm4.py): never materialize the [K, O] dense
-    unpack — fold the high-half activations into the low half and run
-    two depth-K/2 dots against (wp & 0xF) and wp itself,
+    variant="two_dot" is the XLA port of the decode kernel's identity
+    (ops/pallas/mm4.py): never materialize the [K, O] dense unpack —
+    fold the high-half activations into the low half and run two
+    depth-K/2 dots against (wp & 0xF) and wp itself,
 
         y = (a_lo - a_hi/16) @ low + (a_hi/16) @ pb - 8*rowsum(a_lo),
 
@@ -271,10 +277,20 @@ def q4matmul(
     nibble rows (a reshape — the packing is block-major, Quant4Linear
     docstring). Weight-side HBM work drops from writing+reading a
     2-byte/weight dense copy to one 0.5-byte/weight nibble array plus
-    the packed bytes' fused widening: measured 1.92x q4 prefill at 7B,
-    BENCH_NOTES round-4. variant="unpack" keeps the dense-unpack dot
-    (the dequantize4 oracle's shape; tests pin the two variants equal
-    to bf16 rounding)."""
+    the packed bytes' fused widening. variant="unpack" keeps the
+    dense-unpack dot (the dequantize4 oracle's shape; tests pin the two
+    variants equal to bf16 rounding).
+
+    variant="auto" (default) picks per call by the contraction width:
+    two_dot at K >= _Q4_TWO_DOT_MIN_K, unpack below. Both directions are
+    MEASURED (BENCH_NOTES round-4 Q4-prefill table): at 7B (K=4096/16384)
+    two_dot is 1.66x unpack (the dense copy's HBM round trip swamps the
+    MXU); at 430M (K=1024) it is 0.89x (the small unpack stays fused and
+    the fold's extra activation elementwise dominates) — don't force
+    either globally."""
+    if variant == "auto":
+        variant = ("two_dot" if x.shape[-1] >= _Q4_TWO_DOT_MIN_K
+                   else "unpack")
     xs = x * q.scale
     prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
