@@ -44,12 +44,23 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                         "--pool) so pooled batches pass the VMEM pre-check")
     p.add_argument("--bf16-prefill", action="store_true",
                    help="bf16 matmuls for prompt ingest (~2x; see BENCH_NOTES)")
+    p.add_argument("--platform", default=os.environ.get("RWKV_TPU_PLATFORM"),
+                   help="force a jax platform (e.g. 'cpu'). Setting the "
+                        "JAX_PLATFORMS env var does not stick once a TPU "
+                        "plugin is on PYTHONPATH; this flag applies "
+                        "jax.config.update('jax_platforms', ...) before the "
+                        "first device op — for --mock demos and boxes "
+                        "without the accelerator (env: RWKV_TPU_PLATFORM)")
     p.add_argument("--temp", type=float, default=0.9)
     p.add_argument("--tau", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
 
 
 def build_engine(args) -> RWKV:
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     pdt = jnp.bfloat16 if getattr(args, "bf16_prefill", False) else jnp.float32

@@ -29,6 +29,7 @@ dot; the Pallas kernel in ops/pallas/mm8.py does it explicitly with tiling.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -250,8 +251,29 @@ def dequantize4(q: Quant4Linear, dtype=jnp.float32) -> jax.Array:
 
 # q4matmul auto-variant crossover (contraction width): measured two_dot
 # wins at K=4096 (7B widths) and loses at K=1024 (430M); 2048 untested —
-# kept on the unpack side until a 1.5B probe says otherwise.
-_Q4_TWO_DOT_MIN_K = 4096
+# kept on the unpack side until a 1.5B probe says otherwise. Note the
+# crossover keys on the PER-CALL contraction width, so TP sharding lowers
+# K below what the unsharded model would see (7B at tp=8 contracts
+# K=512/2048 per shard) — the sharded prefill path therefore rides the
+# unpack variant at widths the 1.66x two_dot win was never measured at.
+# Override at import with RWKV_TPU_Q4_MIN_K, or at runtime with
+# set_q4_two_dot_min_k() (what tools/q4_prefill_probe.py uses).
+_Q4_TWO_DOT_MIN_K = int(os.environ.get("RWKV_TPU_Q4_MIN_K", "4096"))
+
+_Q4_VARIANTS = ("auto", "two_dot", "unpack")
+
+
+def set_q4_two_dot_min_k(k: int) -> int:
+    """Set the q4matmul auto-variant crossover; returns the previous value.
+
+    The documented hook for probes/tests (tools/q4_prefill_probe.py's
+    PROBE_Q4_MINK flows through here) — callers must not reach into the
+    private module global. 0 forces two_dot everywhere; a huge value
+    forces unpack."""
+    global _Q4_TWO_DOT_MIN_K
+    prev = _Q4_TWO_DOT_MIN_K
+    _Q4_TWO_DOT_MIN_K = int(k)
+    return prev
 
 
 def q4matmul(
@@ -288,6 +310,10 @@ def q4matmul(
     MXU); at 430M (K=1024) it is 0.89x (the small unpack stays fused and
     the fold's extra activation elementwise dominates) — don't force
     either globally."""
+    if variant not in _Q4_VARIANTS:
+        raise ValueError(
+            f"q4matmul variant must be one of {_Q4_VARIANTS}, got {variant!r}"
+        )
     if variant == "auto":
         variant = ("two_dot" if x.shape[-1] >= _Q4_TWO_DOT_MIN_K
                    else "unpack")

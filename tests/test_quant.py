@@ -123,6 +123,42 @@ def test_q4matmul_two_dot_equals_unpack(rng):
         np.testing.assert_allclose(y_td16, y_up16, rtol=3e-2, atol=3e-1)
 
 
+def test_q4matmul_auto_dispatch(rng):
+    """variant='auto' must pick two_dot at K >= the crossover and unpack
+    below it (ADVICE round-4 #3: the dispatch itself was untested). The
+    crossover is moved through the public setter so one K exercises both
+    branches; selection is observed by matching the forced variants'
+    exact float outputs (two_dot and unpack differ in summation order,
+    so f32 outputs are bit-distinguishable on random data)."""
+    from rwkv_tpu.ops.quant import set_q4_two_dot_min_k
+
+    x = rng.normal(size=(5, 128)).astype(np.float32)
+    w = rng.normal(size=(128, 48)).astype(np.float32)
+    q = quantize4(w)
+    xd = jnp.asarray(x)
+    y_td = np.asarray(q4matmul(xd, q, variant="two_dot"))
+    y_up = np.asarray(q4matmul(xd, q, variant="unpack"))
+    assert not np.array_equal(y_td, y_up), "variants must be bit-distinguishable"
+    prev = set_q4_two_dot_min_k(128)  # K=128 >= 128 -> two_dot
+    try:
+        assert np.array_equal(np.asarray(q4matmul(xd, q)), y_td)
+        set_q4_two_dot_min_k(129)  # K=128 < 129 -> unpack
+        assert np.array_equal(np.asarray(q4matmul(xd, q)), y_up)
+    finally:
+        set_q4_two_dot_min_k(prev)
+
+
+def test_q4matmul_rejects_unknown_variant(rng):
+    """A typo'd variant must raise, not silently run unpack (ADVICE
+    round-4 #1)."""
+    import pytest
+
+    x = rng.normal(size=(2, 32)).astype(np.float32)
+    q = quantize4(rng.normal(size=(32, 16)).astype(np.float32))
+    with pytest.raises(ValueError, match="variant"):
+        q4matmul(jnp.asarray(x), q, variant="twodot")
+
+
 def test_q4_stacked_layer_dim(rng):
     from rwkv_tpu.ops.quant import Quant4Linear
 

@@ -16,7 +16,7 @@ Variants (forward_seq, parallel scan, bf16 compute, full-chunk unmasked):
 Env: PROBE_T (512), PROBE_MODEL (430m), PROBE_REPS (4),
 PROBE_CHUNKS_LO/HI (8/40 — same slope discipline as
 prefill_overhead_probe: the span must dwarf the ~30ms tunnel floor),
-PROBE_Q4_MINK (override ops.quant._Q4_TWO_DOT_MIN_K: 0 forces two_dot
+PROBE_Q4_MINK (sets ops.quant.set_q4_two_dot_min_k: 0 forces two_dot
 everywhere, a huge value forces unpack — the A/B lever behind the
 measured auto crossover).
 """
@@ -79,9 +79,9 @@ def main():
     out = {"probe": "q4_prefill", "model": name, "T": T}
     mink = os.environ.get("PROBE_Q4_MINK")
     if mink is not None:
-        from rwkv_tpu.ops import quant
+        from rwkv_tpu.ops.quant import set_q4_two_dot_min_k
 
-        quant._Q4_TWO_DOT_MIN_K = int(mink)
+        set_q4_two_dot_min_k(int(mink))
         out["q4_min_k"] = int(mink)
     q8 = signedize_params(random_quantized_params_device(cfg, seed=0))
     r_lo, r_hi = make_runner(q8, toks, init_state(cfg))

@@ -1,15 +1,19 @@
 #!/bin/bash
-# Queued round-4 on-chip measurements, fired by tools/tpu_poller.sh the
-# moment the TPU tunnel returns (CLAUDE.md outage pattern). Sequential —
+# Queued on-chip measurements, fired by tools/tpu_poller.sh the moment
+# the TPU tunnel returns (CLAUDE.md outage pattern). Sequential —
 # never two TPU processes at once. Outputs land in runbook_out/.
 #
-# Queue (BENCH_NOTES.md "Round-4 findings"; earlier queue ran 2026-08-18):
+# Round-5 queue (earlier round-4 queue ran 2026-08-18):
 #   1. q4_prefill_probe at 430M — the two-dot XLA q4matmul "after" cell
-#      still pending in the Q4-prefill table (tunnel dropped mid-compile;
-#      7B landed at 9,742 tok/s = 0.952x q8 before the outage).
-#   2. bench.py default — 430M fused decode headline regression point
-#      (decode path untouched by the q4matmul XLA change; regression
-#      guard only).
+#      still pending in the BENCH_NOTES Q4-prefill table (tunnel dropped
+#      mid-compile; 7B landed at 9,742 tok/s = 0.952x q8 before the
+#      outage).
+#   2. q4 crossover at K=2048 (ADVICE round-4 #2): 1.5B prefill with the
+#      variant forced each way via PROBE_Q4_MINK (0 = two_dot everywhere,
+#      10^9 = unpack everywhere; default auto mixes at 1.5B: att/head
+#      K=2048 unpack, ffn.v K=8192 two_dot). Places the untested 2048
+#      point — the width 7B's PER-SHARD contractions land on at tp=2-8.
+#   3. bench.py default — 430M fused decode headline regression point.
 set -u
 cd "$(dirname "$0")/.."
 # python script runs put the SCRIPT dir on sys.path, not cwd — the repo
@@ -31,5 +35,7 @@ run() {
 }
 
 run q4_prefill_430m 1800 python tools/q4_prefill_probe.py
+run q4_prefill_1b5_twodot 2400 env PROBE_MODEL=1b5 PROBE_Q4_MINK=0 python tools/q4_prefill_probe.py
+run q4_prefill_1b5_unpack 2400 env PROBE_MODEL=1b5 PROBE_Q4_MINK=1000000000 python tools/q4_prefill_probe.py
 run bench 1800 python bench.py
 echo "RUNBOOK DONE $stamp" | tee -a "runbook_out/runbook_${stamp}.log"
