@@ -260,7 +260,13 @@ def dequantize4(q: Quant4Linear, dtype=jnp.float32) -> jax.Array:
 # set_q4_two_dot_min_k() (what tools/q4_prefill_probe.py uses).
 _Q4_TWO_DOT_MIN_K = int(os.environ.get("RWKV_TPU_Q4_MIN_K", "4096"))
 
-_Q4_VARIANTS = ("auto", "two_dot", "unpack")
+_Q4_VARIANTS = ("auto", "two_dot", "two_dot_i8", "unpack")
+
+# Which two-dot implementation "auto" dispatches to above the crossover:
+# 'two_dot' (measured round-4 default) or 'two_dot_i8' (the int8-pinned
+# nibble materialization — A/B lever for tools/q4_prefill_probe.py until
+# the 7B probe places it). Env: RWKV_TPU_Q4_TWO_DOT_IMPL.
+_Q4_TWO_DOT_IMPL = os.environ.get("RWKV_TPU_Q4_TWO_DOT_IMPL", "two_dot")
 
 
 def set_q4_two_dot_min_k(k: int) -> int:
@@ -303,6 +309,16 @@ def q4matmul(
     dense-unpack dot (the dequantize4 oracle's shape; tests pin the two
     variants equal to bf16 rounding).
 
+    variant="two_dot_i8" is two_dot with the nibble-select operand's
+    materialization PINNED at int8 (optimization_barrier between the
+    `& 0xF` and the convert): plain two_dot lets XLA fuse and+convert,
+    which materializes the [K/2, O] array at compute_dtype — 2 bytes per
+    packed byte written and read back per call, the measured residual
+    behind q4 prefill's 3-5% gap vs q8 (BENCH_NOTES round-4). Pinning
+    int8 halves that operand's traffic; the int8->bf16 widening then
+    fuses into the dot read like pb's does. A/B candidate only until the
+    7B probe places it (tools/tpu_runbook.sh).
+
     variant="auto" (default) picks per call by the contraction width:
     two_dot at K >= _Q4_TWO_DOT_MIN_K, unpack below. Both directions are
     MEASURED (BENCH_NOTES round-4 Q4-prefill table): at 7B (K=4096/16384)
@@ -315,13 +331,13 @@ def q4matmul(
             f"q4matmul variant must be one of {_Q4_VARIANTS}, got {variant!r}"
         )
     if variant == "auto":
-        variant = ("two_dot" if x.shape[-1] >= _Q4_TWO_DOT_MIN_K
+        variant = (_Q4_TWO_DOT_IMPL if x.shape[-1] >= _Q4_TWO_DOT_MIN_K
                    else "unpack")
     xs = x * q.scale
     prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
     kw = dict(preferred_element_type=jnp.float32, precision=prec)
-    if variant == "two_dot":
+    if variant in ("two_dot", "two_dot_i8"):
         K = x.shape[-1]
         b = K if q.block is None else q.block
         x4 = xs.reshape(*xs.shape[:-1], K // b, b)
@@ -329,7 +345,13 @@ def q4matmul(
         xh = x4[..., b // 2:] / 16.0                 # high: fold the *16
         A1 = (xl - xh).reshape(*xs.shape[:-1], K // 2).astype(compute_dtype)
         A2 = xh.reshape(*xs.shape[:-1], K // 2).astype(compute_dtype)
-        low = (q.wp & 0xF).astype(compute_dtype)     # q_lo in [0, 15]
+        low_i8 = q.wp & 0xF                          # q_lo in [0, 15]
+        if variant == "two_dot_i8":
+            # pin the nibble array's materialization at 1 byte (see
+            # docstring); without the barrier XLA fuses the convert and
+            # materializes at compute_dtype.
+            low_i8 = jax.lax.optimization_barrier(low_i8)
+        low = low_i8.astype(compute_dtype)
         pb = q.wp.astype(compute_dtype)              # 16*(q_hi-8) + q_lo
         dn = (((x.ndim - 1,), (low.ndim - 2,)), ((), ()))
         main = (jax.lax.dot_general(A1, low, dimension_numbers=dn, **kw)

@@ -18,7 +18,9 @@ PROBE_CHUNKS_LO/HI (8/40 — same slope discipline as
 prefill_overhead_probe: the span must dwarf the ~30ms tunnel floor),
 PROBE_Q4_MINK (sets ops.quant.set_q4_two_dot_min_k: 0 forces two_dot
 everywhere, a huge value forces unpack — the A/B lever behind the
-measured auto crossover).
+measured auto crossover), RWKV_TPU_Q4_TWO_DOT_IMPL (which two-dot impl
+auto uses above the crossover: 'two_dot' or 'two_dot_i8' — the
+int8-pinned nibble materialization; see q4matmul docstring).
 """
 
 import functools as ft
@@ -83,6 +85,9 @@ def main():
 
         set_q4_two_dot_min_k(int(mink))
         out["q4_min_k"] = int(mink)
+    impl = os.environ.get("RWKV_TPU_Q4_TWO_DOT_IMPL")
+    if impl is not None:
+        out["q4_two_dot_impl"] = impl
     q8 = signedize_params(random_quantized_params_device(cfg, seed=0))
     r_lo, r_hi = make_runner(q8, toks, init_state(cfg))
     tok_q8 = T / slope_time(r_lo, r_hi, reps)

@@ -37,5 +37,9 @@ run() {
 run q4_prefill_430m 1800 python tools/q4_prefill_probe.py
 run q4_prefill_1b5_twodot 2400 env PROBE_MODEL=1b5 PROBE_Q4_MINK=0 python tools/q4_prefill_probe.py
 run q4_prefill_1b5_unpack 2400 env PROBE_MODEL=1b5 PROBE_Q4_MINK=1000000000 python tools/q4_prefill_probe.py
+#   4. two_dot_i8 at 7B (nibble operand materialized int8, not bf16 —
+#      the measured 3-5% residual vs q8; q4matmul docstring). Compare
+#      against the recorded two_dot 9,742 tok/s cell.
+run q4_prefill_7b_i8 3600 env PROBE_MODEL=7b RWKV_TPU_Q4_TWO_DOT_IMPL=two_dot_i8 python tools/q4_prefill_probe.py
 run bench 1800 python bench.py
 echo "RUNBOOK DONE $stamp" | tee -a "runbook_out/runbook_${stamp}.log"
