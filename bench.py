@@ -52,6 +52,37 @@ from rwkv_tpu.utils.cache import configure_cache  # noqa: E402
 configure_cache()
 
 
+def _acquire_chip_lock(path="runbook_out/tpu.lock", wait_s=None):
+    """Serialize on the one real chip with the queued-measurement runbook
+    (tools/tpu_runbook.sh holds the same flock): two concurrent TPU
+    processes contend on the tunnel and corrupt each other's timing
+    (CLAUDE.md). Blocks up to RWKV_TPU_CHIP_LOCK_WAIT_S (default 2700 —
+    past the runbook's longest single probe), then proceeds with a
+    stderr warning rather than failing the headline bench. The fd is
+    held for the process lifetime; flock releases on exit/crash."""
+    import fcntl
+    import sys
+
+    if os.environ.get("RWKV_TPU_CHIP_LOCK", "1") == "0":
+        return None  # caller already holds it (tools/tpu_runbook.sh)
+    wait_s = int(os.environ.get("RWKV_TPU_CHIP_LOCK_WAIT_S", "2700")
+                 if wait_s is None else wait_s)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd = os.open(path, os.O_CREAT | os.O_RDWR)
+    deadline = time.time() + wait_s
+    while True:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return fd
+        except OSError:
+            if time.time() >= deadline:
+                print(f"[bench] chip lock still held after {wait_s}s — "
+                      "proceeding anyway (timings may contend)",
+                      file=sys.stderr, flush=True)
+                return fd
+            time.sleep(10)
+
+
 def weight_bytes_per_token(params) -> int:
     """Bytes that must stream from HBM for one decode step: every quantized
     matrix + scales/offsets + layernorms/mixes/decay/bonus + one emb row."""
@@ -143,6 +174,7 @@ def bench_prefill(cfg, params, name, T=None, reps=4):
 
 
 def main():
+    _acquire_chip_lock()
     name = os.environ.get("RWKV_TPU_BENCH_MODEL", "430m")
     steps = int(os.environ.get("RWKV_TPU_BENCH_STEPS", "128"))
     batch = int(os.environ.get("RWKV_TPU_BENCH_BATCH", "1"))

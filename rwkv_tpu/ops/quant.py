@@ -249,16 +249,18 @@ def dequantize4(q: Quant4Linear, dtype=jnp.float32) -> jax.Array:
     )
 
 
-# q4matmul auto-variant crossover (contraction width): measured two_dot
-# wins at K=4096 (7B widths) and loses at K=1024 (430M); 2048 untested —
-# kept on the unpack side until a 1.5B probe says otherwise. Note the
-# crossover keys on the PER-CALL contraction width, so TP sharding lowers
-# K below what the unsharded model would see (7B at tp=8 contracts
-# K=512/2048 per shard) — the sharded prefill path therefore rides the
-# unpack variant at widths the 1.66x two_dot win was never measured at.
-# Override at import with RWKV_TPU_Q4_MIN_K, or at runtime with
+# q4matmul auto-variant crossover, keyed on min(K, O) — BOTH matmul dims
+# (round-5 measurement, BENCH_NOTES). Round 4's K-only predicate
+# mis-dispatched 430M's ffn.v (K=4096 but O=1024): two_dot there dropped
+# 430M q4 prefill to 102.5k vs all-unpack's 117k tok/s, while 1.5B
+# (every family min-dim 2048) measured two_dot everywhere at 41.9k vs
+# unpack's 39.0k (+7.3%) and 7B (min-dim 4096) at 1.66x. The [K/2, O]
+# nibble-select operand + the activation fold need width in both dims to
+# beat the fused small unpack. Per-call shapes also mean TP sharding
+# (which shrinks one dim per shard) naturally demotes narrow shards to
+# unpack. Override at import with RWKV_TPU_Q4_MIN_K, or at runtime with
 # set_q4_two_dot_min_k() (what tools/q4_prefill_probe.py uses).
-_Q4_TWO_DOT_MIN_K = int(os.environ.get("RWKV_TPU_Q4_MIN_K", "4096"))
+_Q4_TWO_DOT_MIN_K = int(os.environ.get("RWKV_TPU_Q4_MIN_K", "2048"))
 
 _Q4_VARIANTS = ("auto", "two_dot", "two_dot_i8", "unpack")
 

@@ -70,9 +70,13 @@ def test_step_composes_to_scan(rng):
     for t in range(k.shape[0]):
         y, s = wkv_step(kj[t], vj[t], s, wj, uj)
         ys.append(y)
-    np.testing.assert_allclose(np.stack(ys), np.asarray(ys_scan), rtol=1e-6)
+    # atol matters: step-vs-scan compile to different fusions, so outputs
+    # differ in the last ulp — a near-zero element fails bare rtol.
+    np.testing.assert_allclose(np.stack(ys), np.asarray(ys_scan),
+                               rtol=1e-6, atol=1e-6)
     for a, b in zip(s, final_scan):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
 
 
 @pytest.mark.parametrize("T", [1, 2, 13, 64])
