@@ -265,9 +265,9 @@ _Q4_TWO_DOT_MIN_K = int(os.environ.get("RWKV_TPU_Q4_MIN_K", "2048"))
 _Q4_VARIANTS = ("auto", "two_dot", "two_dot_i8", "unpack")
 
 # Which two-dot implementation "auto" dispatches to above the crossover:
-# 'two_dot' (measured round-4 default) or 'two_dot_i8' (the int8-pinned
-# nibble materialization — A/B lever for tools/q4_prefill_probe.py until
-# the 7B probe places it). Env: RWKV_TPU_Q4_TWO_DOT_IMPL.
+# 'two_dot' (the measured default) or 'two_dot_i8' (int8-pinned nibble
+# materialization — measured SLOWER at 7B, 0.877x vs 0.952x q8, round-5
+# A/B; kept as a re-probe lever). Env: RWKV_TPU_Q4_TWO_DOT_IMPL.
 _Q4_TWO_DOT_IMPL = os.environ.get("RWKV_TPU_Q4_TWO_DOT_IMPL", "two_dot")
 
 
@@ -315,25 +315,28 @@ def q4matmul(
     materialization PINNED at int8 (optimization_barrier between the
     `& 0xF` and the convert): plain two_dot lets XLA fuse and+convert,
     which materializes the [K/2, O] array at compute_dtype — 2 bytes per
-    packed byte written and read back per call, the measured residual
-    behind q4 prefill's 3-5% gap vs q8 (BENCH_NOTES round-4). Pinning
-    int8 halves that operand's traffic; the int8->bf16 widening then
-    fuses into the dot read like pb's does. A/B candidate only until the
-    7B probe places it (tools/tpu_runbook.sh).
+    packed byte written and read back per call, the suspected residual
+    behind q4 prefill's 3-5% gap vs q8 (BENCH_NOTES round-4). MEASURED
+    SLOWER at 7B (round-5 A/B: 0.877x q8 vs two_dot's 0.952x) — the
+    barrier costs more fusion than the byte-width pin saves. Kept as a
+    selectable variant for re-probing on XLA bumps; auto never picks it
+    unless RWKV_TPU_Q4_TWO_DOT_IMPL overrides.
 
-    variant="auto" (default) picks per call by the contraction width:
-    two_dot at K >= _Q4_TWO_DOT_MIN_K, unpack below. Both directions are
-    MEASURED (BENCH_NOTES round-4 Q4-prefill table): at 7B (K=4096/16384)
-    two_dot is 1.66x unpack (the dense copy's HBM round trip swamps the
-    MXU); at 430M (K=1024) it is 0.89x (the small unpack stays fused and
-    the fold's extra activation elementwise dominates) — don't force
-    either globally."""
+    variant="auto" (default) picks per call by min(K, O) — BOTH matmul
+    dims must clear _Q4_TWO_DOT_MIN_K for two_dot, else unpack. Both
+    directions are MEASURED (BENCH_NOTES round-4/5 Q4-prefill cells):
+    at 7B (min-dim 4096) two_dot is 1.66x unpack (the dense copy's HBM
+    round trip swamps the MXU); at 1.5B (min-dim 2048) +7.3%; at 430M
+    (min-dim 1024 in every family — ffn.v is K=4096 but O=1024) it is
+    0.89x (the small unpack stays fused and the fold's extra activation
+    elementwise dominates) — don't force either globally."""
     if variant not in _Q4_VARIANTS:
         raise ValueError(
             f"q4matmul variant must be one of {_Q4_VARIANTS}, got {variant!r}"
         )
     if variant == "auto":
-        variant = (_Q4_TWO_DOT_IMPL if x.shape[-1] >= _Q4_TWO_DOT_MIN_K
+        variant = (_Q4_TWO_DOT_IMPL
+                   if min(x.shape[-1], q.wp.shape[-1]) >= _Q4_TWO_DOT_MIN_K
                    else "unpack")
     xs = x * q.scale
     prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32

@@ -143,26 +143,44 @@ def test_q4matmul_two_dot_i8_equals_two_dot(rng):
 
 
 def test_q4matmul_auto_dispatch(rng):
-    """variant='auto' must pick two_dot at K >= the crossover and unpack
-    below it (ADVICE round-4 #3: the dispatch itself was untested). The
-    crossover is moved through the public setter so one K exercises both
-    branches; selection is observed by matching the forced variants'
-    exact float outputs (two_dot and unpack differ in summation order,
-    so f32 outputs are bit-distinguishable on random data)."""
+    """variant='auto' must pick two_dot only when min(K, O) clears the
+    crossover and unpack otherwise (ADVICE round-4 #3: the dispatch was
+    untested; round-5: the K-only predicate mis-dispatched 430M's ffn.v,
+    K=4096 but O=1024 — BOTH dims must gate). The crossover is moved
+    through the public setter so fixed shapes exercise every branch;
+    selection is observed by matching the forced variants' exact float
+    outputs (two_dot and unpack differ in summation order, so f32
+    outputs are bit-distinguishable on random data)."""
     from rwkv_tpu.ops.quant import set_q4_two_dot_min_k
 
     x = rng.normal(size=(5, 128)).astype(np.float32)
     w = rng.normal(size=(128, 48)).astype(np.float32)
-    q = quantize4(w)
+    q = quantize4(w)   # K=128, O=48 -> min 48
     xd = jnp.asarray(x)
     y_td = np.asarray(q4matmul(xd, q, variant="two_dot"))
     y_up = np.asarray(q4matmul(xd, q, variant="unpack"))
     assert not np.array_equal(y_td, y_up), "variants must be bit-distinguishable"
-    prev = set_q4_two_dot_min_k(128)  # K=128 >= 128 -> two_dot
+    prev = set_q4_two_dot_min_k(48)  # min(128, 48)=48 >= 48 -> two_dot
     try:
         assert np.array_equal(np.asarray(q4matmul(xd, q)), y_td)
-        set_q4_two_dot_min_k(129)  # K=128 < 129 -> unpack
+        set_q4_two_dot_min_k(49)  # O=48 below -> unpack even though K=128
         assert np.array_equal(np.asarray(q4matmul(xd, q)), y_up)
+        set_q4_two_dot_min_k(129)  # K=128 below too -> unpack
+        assert np.array_equal(np.asarray(q4matmul(xd, q)), y_up)
+        # wide-O/narrow-K mirror of ffn.k: K=48... not packable (odd
+        # halves) — transpose the same weights instead: K=48 is the min.
+    finally:
+        set_q4_two_dot_min_k(prev)
+    wT = rng.normal(size=(48, 128)).astype(np.float32)
+    qT = quantize4(wT)  # K=48, O=128 -> min 48
+    xT = jnp.asarray(rng.normal(size=(5, 48)).astype(np.float32))
+    y_tdT = np.asarray(q4matmul(xT, qT, variant="two_dot"))
+    y_upT = np.asarray(q4matmul(xT, qT, variant="unpack"))
+    prev = set_q4_two_dot_min_k(49)  # K=48 below -> unpack even though O=128
+    try:
+        assert np.array_equal(np.asarray(q4matmul(xT, qT)), y_upT)
+        set_q4_two_dot_min_k(48)
+        assert np.array_equal(np.asarray(q4matmul(xT, qT)), y_tdT)
     finally:
         set_q4_two_dot_min_k(prev)
 

@@ -17,7 +17,12 @@ from rwkv_tpu.ops.pallas.mm4 import mm4
 from rwkv_tpu.ops.pallas.mm8 import mm8
 
 
-def bench(fn, args, iters, label, bytes_per_call):
+def bench(fn, args, iters, label, bytes_per_call, spread_s=0.25):
+    """Two-length slope timing, auto-calibrated: the (n2-n1) extra device
+    work must dwarf the tunnel's per-dispatch jitter (~ms on a ~30 ms
+    floor), or the slope degenerates — at E=1024 B=1 shapes (0.5-20 us
+    kernels) fixed iters=64 measured NEGATIVE us/call (BENCH_NOTES
+    round-5). Calibrate n so (n2-n1)*per_call >= spread_s."""
     xs0, w = args
 
     def make(n):
@@ -34,22 +39,39 @@ def bench(fn, args, iters, label, bytes_per_call):
 
         return many_n
 
-    n1, n2 = iters, iters * 4
-    f1, f2 = make(n1), make(n2)
-    np.asarray(f1(xs0, w)[0, 0])
-    np.asarray(f2(xs0, w)[0, 0])
-    b1 = b2 = float("inf")
-    for _ in range(3):
+    def slope(n1, n2, reps=3):
+        f1, f2 = make(n1), make(n2)
+        np.asarray(f1(xs0, w)[0, 0])
+        np.asarray(f2(xs0, w)[0, 0])
+        b1 = b2 = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f1(xs0, w)[0, 0])
+            b1 = min(b1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(f2(xs0, w)[0, 0])
+            b2 = min(b2, time.perf_counter() - t0)
+        return (b2 - b1) / (n2 - n1)
+
+    # Pilot at the requested iters, then scale the length pair so the
+    # extra work spans spread_s of device time (cap the scan length).
+    per_call = slope(iters, iters * 4, reps=2)
+    est = max(abs(per_call), 1e-7)  # degenerate pilot -> assume 0.1 us
+    n1 = min(max(iters, int(spread_s / 3.0 / est)), 200_000)
+    if n1 > iters:
+        # guard: one timed f(n1) call corrects a pilot that
+        # underestimated (a too-big n1 would blow the step timeout).
+        f1 = make(n1)
+        np.asarray(f1(xs0, w)[0, 0])
         t0 = time.perf_counter()
         np.asarray(f1(xs0, w)[0, 0])
-        b1 = min(b1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(f2(xs0, w)[0, 0])
-        b2 = min(b2, time.perf_counter() - t0)
-    per_call = (b2 - b1) / (n2 - n1)
+        w1 = time.perf_counter() - t0
+        if w1 > 3.0:
+            n1 = max(iters, int(n1 * 1.0 / w1))
+        per_call = slope(n1, n1 * 4)
     gbps = bytes_per_call / per_call / 1e9
     print(f"{label:26s}: {per_call*1e6:8.2f} us/call  {gbps:7.1f} GB/s "
-          f"effective", flush=True)
+          f"effective  (n={n1})", flush=True)
     return per_call
 
 
