@@ -76,15 +76,22 @@ def _dot_s8(a_i8, b_i8):
     ).astype(jnp.float32)
 
 
-def _dot4(a2, p):
+def _dot4(a2, p, dot_dtype=jnp.float32):
     """Folded-LHS 4-bit matmul (the mm4.py two_dot identity, measured at
     2x mm8 bandwidth): a2 = [a_lo - a_hi/16 | a_hi/16] from _fold4; p is
     the nibble-packed [K/2, t] int8 block. Weight-side VPU work is ONE
-    int8 `&` + TWO int8->f32 casts; the centering lives in the caller's
-    offs correction."""
+    int8 `&` + TWO int8 widening casts; the centering lives in the
+    caller's offs correction.
+
+    dot_dtype=bfloat16 (the q4_bf16 decode_stack option) halves the
+    widened operands' VMEM footprint and runs the MXU at its native
+    rate: nibble/packed values are integers in [-128, 127] — EXACT in
+    bf16 — so only the folded activations round (~0.4% rel), the same
+    noise class as mm8's lhs_bf16. Accumulation stays f32."""
     k2 = p.shape[0]
-    low = (p & 0xF).astype(jnp.float32)
-    pb = p.astype(jnp.float32)
+    low = (p & 0xF).astype(dot_dtype)
+    pb = p.astype(dot_dtype)
+    a2 = a2.astype(dot_dtype)
     dn = (((1,), (0,)), ((), ()))
     return (
         jax.lax.dot_general(a2[:, :k2], low, dimension_numbers=dn,
@@ -122,8 +129,10 @@ def _decode_stack_kernel(
     *refs,
     n_att: int, n_ffn: int, tile: int, n_layer: int, n_head: int,
     a8: bool, with_head: bool, fuse_embed: int, pretiled: bool,
-    q4: bool = False,
+    q4: bool = False, q4_bf16: bool = False,
 ):
+    _d4 = functools.partial(
+        _dot4, dot_dtype=jnp.bfloat16 if q4_bf16 else jnp.float32)
     # ----- unpack (positional refs: inputs, then outputs, then scratch) ----
     ln0_w = ln0_b = None
     emb_rows = ()
@@ -253,9 +262,9 @@ def _decode_stack_kernel(
     @pl.when(s < n_att)
     def _():
         if q4:
-            k_t = _dot4(xs_k[:], w2(km)) + offs[OFFK][:, :1]
-            v_t = _dot4(xs_v[:], w2(vm)) + offs[OFFV][:, :1]
-            r_t = _dot4(xs_r[:], w2(rm)) + offs[OFFR][:, :1]
+            k_t = _d4(xs_k[:], w2(km)) + offs[OFFK][:, :1]
+            v_t = _d4(xs_v[:], w2(vm)) + offs[OFFV][:, :1]
+            r_t = _d4(xs_r[:], w2(rm)) + offs[OFFR][:, :1]
         elif a8:
             k_t = _dot_s8(q_k[:], w2(km)) * scls[SK][:, :1] + offs[OFFK][:, :1]
             v_t = _dot_s8(q_v[:], w2(vm)) * scls[SV][:, :1] + offs[OFFV][:, :1]
@@ -289,7 +298,7 @@ def _decode_stack_kernel(
         # row-parallel partial of the output projection + rank-1 offset acc
         if q4:
             a2, c = _fold4(rwkv_t * wout_r[0])  # block=tile packing
-            xcur[:] += _dot4(a2, wout[0])
+            xcur[:] += _d4(a2, wout[0])
             offs[OUTO] += _bsum(rwkv_t * wout_o[0]) + c
         elif a8:
             qo, so = _quant_rows(rwkv_t * wout_r[0])
@@ -335,7 +344,7 @@ def _decode_stack_kernel(
         @pl.when(j < n_att)
         def _():
             if q4:
-                g_t = _dot4(xs_fr[:], w2(wg)) + offs[FFR][:, :1]
+                g_t = _d4(xs_fr[:], w2(wg)) + offs[FFR][:, :1]
             elif a8:
                 g_t = (_dot_s8(q_fr[:], w2(wg)) * scls[SFR][:, :1]
                        + offs[FFR][:, :1])
@@ -344,7 +353,7 @@ def _decode_stack_kernel(
             gate[:, pl.ds(j * tile, tile)] = 1.0 / (1.0 + jnp.exp(-g_t))
 
         if q4:
-            h_t = _dot4(xs_fk[:], w2(ffnk)) + offs[FFK][:, :1]
+            h_t = _d4(xs_fk[:], w2(ffnk)) + offs[FFK][:, :1]
         elif a8:
             h_t = _dot_s8(q_fk[:], w2(ffnk)) * scls[SFK][:, :1] + offs[FFK][:, :1]
         else:
@@ -353,7 +362,7 @@ def _decode_stack_kernel(
         h_t = h_t * h_t
         if q4:
             a2, c = _fold4(h_t * fvr[0])  # block=tile packing
-            zacc[:] += _dot4(a2, ffnv[0])
+            zacc[:] += _d4(a2, ffnv[0])
             offs[FFV] += _bsum(h_t * fvo[0]) + c
         elif a8:
             qh, sh = _quant_rows(h_t * fvr[0])
@@ -389,7 +398,7 @@ def _decode_stack_kernel(
         @pl.when(s >= S)
         def _():
             if q4:
-                logits_out[:] = _dot4(xs_h[:], hw[:]) + offs[HOF][:, :1]
+                logits_out[:] = _d4(xs_h[:], hw[:]) + offs[HOF][:, :1]
             elif a8:
                 logits_out[:] = (
                     _dot_s8(q_h[:], hw[:]) * scls[SH][:, :1] + offs[HOF][:, :1]
@@ -568,7 +577,7 @@ def pick_head_tile(n_embd: int, tile: int, vocab_padded: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "head_tile", "interpret", "a8",
-                                    "with_head", "fuse_embed"))
+                                    "with_head", "fuse_embed", "q4_bf16"))
 def decode_stack(
     x: jax.Array,            # [B, E] post-ln0 embedded token(s); ignored
                              # (pass zeros) when fuse_embed
@@ -582,6 +591,7 @@ def decode_stack(
     a8: bool = False,
     with_head: bool = False,
     fuse_embed: bool = False,
+    q4_bf16: bool | None = None,
 ):
     """Run all L blocks on x. Returns (new x [B, E], new state) — plus raw
     logits [B, Vp] as a third element when with_head=True (requires a
@@ -595,11 +605,24 @@ def decode_stack(
     4-bit params (models.rwkv4.quantize_params_q4) are auto-detected:
     weight blocks stream nibble-packed at HALF the HBM bytes and every
     matvec runs through the _dot4 two-dot identity (measured 2x mm8
-    bandwidth, BENCH_NOTES round-4)."""
+    bandwidth, BENCH_NOTES round-4).
+
+    q4_bf16=True runs the q4 two-dot in bfloat16 (integer nibble/packed
+    operands are exact; folded activations round ~0.4% rel — mm8's
+    lhs_bf16 noise class; f32 accumulation). None reads the
+    RWKV_TPU_Q4_DOT env knob ('bf16' opts in) ONCE at trace time — the
+    resolved value is baked into the jit cache for this static-arg
+    combination, so flip it via the explicit argument (not env) when
+    A/B-ing inside one process."""
+    import os as _os
+
     from rwkv_tpu.ops.quant import Quant4Linear, QuantLinear
 
     att, ffn = params.att, params.ffn
     q4 = isinstance(att.key, Quant4Linear)
+    if q4_bf16 is None:
+        q4_bf16 = _os.environ.get("RWKV_TPU_Q4_DOT", "f32") == "bf16"
+    q4_bf16 = bool(q4_bf16) and q4
     if q4:
         if a8:
             raise ValueError("a8 and 4-bit weights are mutually exclusive")
@@ -873,7 +896,7 @@ def decode_stack(
         _decode_stack_kernel,
         n_att=n_att, n_ffn=n_ffn, tile=tile, n_layer=L, n_head=n_head,
         a8=a8, with_head=with_head, fuse_embed=(B if fuse_embed else 0),
-        pretiled=pretiled, q4=q4,
+        pretiled=pretiled, q4=q4, q4_bf16=q4_bf16,
     )
     cost = pl.CostEstimate(
         flops=2 * Bp * weight_flop_bytes,
@@ -929,6 +952,7 @@ def forward_step_fused(
     tile: int | None = None, head_tile: int | None = None,
     interpret: bool = False, head_a8: bool = False,
     a8: bool = False, fuse_embed: bool | None = None,
+    q4_bf16: bool | None = None,
 ) -> Tuple[jax.Array, WKVState]:
     """Full decode step on the fused stack kernel. The L-layer body, ln_out
     and the quantized head run as one kernel whenever the padded vocab is
@@ -983,11 +1007,12 @@ def forward_step_fused(
         y, new_state, logits = decode_stack(
             x, params, st, token=tok, tile=tile, head_tile=head_tile,
             interpret=interpret, a8=a8,
-            with_head=True, fuse_embed=embed_fusable,
+            with_head=True, fuse_embed=embed_fusable, q4_bf16=q4_bf16,
         )
     else:
         y, new_state = decode_stack(x, params, st, tile=tile,
-                                    interpret=interpret, a8=a8)
+                                    interpret=interpret, a8=a8,
+                                    q4_bf16=q4_bf16)
         h = layer_norm(y, params.ln_out.weight, params.ln_out.bias)
         if isinstance(params.head, Quant4Linear):
             from rwkv_tpu.ops.pallas.mm4 import qmatmul4_pallas

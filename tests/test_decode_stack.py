@@ -312,6 +312,27 @@ def test_q4_fused_step_matches_oracle(model_q4, B):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_q4_bf16_dot_close_to_f32(model_q4):
+    """q4_bf16=True (bf16 two-dot operands, f32 accumulation) must track
+    the f32 q4 kernel to bf16-activation rounding: nibble/packed weight
+    values are integers — exact in bf16 — so only the folded activations
+    round (~0.4% rel, mm8's lhs_bf16 noise class)."""
+    cfg, params = model_q4
+    state = init_state(cfg, (2,))
+    tok = jnp.asarray([5, 9])
+    l_f32, s_f32 = forward_step_fused(params, tok, state, tile=128,
+                                      interpret=True)
+    l_bf, s_bf = forward_step_fused(params, tok, state, tile=128,
+                                    interpret=True, q4_bf16=True)
+    assert not np.array_equal(np.asarray(l_bf), np.asarray(l_f32)), \
+        "bf16 dots must actually engage (bit-identical means the flag is dead)"
+    np.testing.assert_allclose(np.asarray(l_bf), np.asarray(l_f32),
+                               rtol=3e-2, atol=3e-2)
+    for a, b in zip(s_bf, s_f32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=3e-2)
+
+
 def test_q4_fused_state_carry(model_q4):
     cfg, params = model_q4
     s_r = s_f = init_state(cfg, (2,))
