@@ -87,7 +87,9 @@ def _dot4(a2, p, dot_dtype=jnp.float32):
     widened operands' VMEM footprint and runs the MXU at its native
     rate: nibble/packed values are integers in [-128, 127] — EXACT in
     bf16 — so only the folded activations round (~0.4% rel), the same
-    noise class as mm8's lhs_bf16. Accumulation stays f32."""
+    noise class as mm8's lhs_bf16. Accumulation stays f32. MEASURED
+    SLOWER at 430M (0.93x the f32 dots, BENCH_NOTES round-5): Mosaic's
+    int8->f32 widening is the fast path. Kept as a re-probe lever."""
     k2 = p.shape[0]
     low = (p & 0xF).astype(dot_dtype)
     pb = p.astype(dot_dtype)
@@ -609,11 +611,12 @@ def decode_stack(
 
     q4_bf16=True runs the q4 two-dot in bfloat16 (integer nibble/packed
     operands are exact; folded activations round ~0.4% rel — mm8's
-    lhs_bf16 noise class; f32 accumulation). None reads the
-    RWKV_TPU_Q4_DOT env knob ('bf16' opts in) ONCE at trace time — the
-    resolved value is baked into the jit cache for this static-arg
-    combination, so flip it via the explicit argument (not env) when
-    A/B-ing inside one process."""
+    lhs_bf16 noise class; f32 accumulation). Measured SLOWER than the
+    f32 dots at 430M (0.93x — BENCH_NOTES round-5); default stays f32.
+    None reads the RWKV_TPU_Q4_DOT env knob ('bf16' opts in) ONCE at
+    trace time — the resolved value is baked into the jit cache for
+    this static-arg combination, so flip it via the explicit argument
+    (not env) when A/B-ing inside one process."""
     import os as _os
 
     from rwkv_tpu.ops.quant import Quant4Linear, QuantLinear
