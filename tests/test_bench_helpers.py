@@ -46,3 +46,32 @@ def test_pretiled_fabrication_matches_bench_expectations():
     assert tiled.att.key.w.shape == (2, 1, 128, 128)
     assert bench.weight_bytes_per_token(flat) == \
         bench.weight_bytes_per_token(tiled)
+
+
+def test_chip_lock_acquire_and_bypass(tmp_path, monkeypatch):
+    """_acquire_chip_lock serializes TPU processes on a flock: free lock
+    -> acquired fd; RWKV_TPU_CHIP_LOCK=0 (a runbook wrapper already holds
+    it) -> None without touching the file; held lock + expired wait ->
+    proceeds anyway (the headline bench must never fail on a stale lock)."""
+    import fcntl
+    import os
+
+    bench = _load_bench()
+    path = str(tmp_path / "tpu.lock")
+
+    monkeypatch.setenv("RWKV_TPU_CHIP_LOCK", "0")
+    assert bench._acquire_chip_lock(path=path) is None
+    assert not os.path.exists(path)
+
+    monkeypatch.setenv("RWKV_TPU_CHIP_LOCK", "1")
+    fd = bench._acquire_chip_lock(path=path, wait_s=0)
+    assert fd is not None
+    # flock is per open-file-description: a second open of the same path
+    # in this process contends, so the expired-wait fallthrough engages.
+    fd2 = bench._acquire_chip_lock(path=path, wait_s=0)
+    assert fd2 is not None and fd2 != fd
+    with __import__("pytest").raises(OSError):
+        fcntl.flock(fd2, fcntl.LOCK_EX | fcntl.LOCK_NB)  # fd still holds it
+    os.close(fd)
+    fcntl.flock(fd2, fcntl.LOCK_EX | fcntl.LOCK_NB)  # now free
+    os.close(fd2)
