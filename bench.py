@@ -35,6 +35,13 @@ Env knobs:
   RWKV_TPU_BENCH_TILE   — fused kernel tile (default auto)
   RWKV_TPU_BENCH_MODE   — 'decode' (default) or 'prefill' (parallel-scan
                           prompt ingest throughput, T=512 chunks)
+  RWKV_TPU_CHIP_LOCK    — '0' skips the chip flock (a runbook wrapper
+                          already holds runbook_out/tpu.lock); default '1'
+                          serializes on it so two TPU processes never
+                          contend on the tunnel
+  RWKV_TPU_CHIP_LOCK_WAIT_S — max seconds to wait for the chip lock
+                          before proceeding anyway with a warning
+                          (default 2700 — past the longest runbook probe)
 """
 
 import json
@@ -52,7 +59,7 @@ from rwkv_tpu.utils.cache import configure_cache  # noqa: E402
 configure_cache()
 
 
-def _acquire_chip_lock(path="runbook_out/tpu.lock", wait_s=None):
+def _acquire_chip_lock(path=None, wait_s=None):
     """Serialize on the one real chip with the queued-measurement runbook
     (tools/tpu_runbook.sh holds the same flock): two concurrent TPU
     processes contend on the tunnel and corrupt each other's timing
@@ -67,6 +74,12 @@ def _acquire_chip_lock(path="runbook_out/tpu.lock", wait_s=None):
         return None  # caller already holds it (tools/tpu_runbook.sh)
     wait_s = int(os.environ.get("RWKV_TPU_CHIP_LOCK_WAIT_S", "2700")
                  if wait_s is None else wait_s)
+    if path is None:
+        # anchor to the repo, NOT the cwd: the runbooks lock the repo's
+        # runbook_out/tpu.lock, and a bench launched from elsewhere must
+        # contend on the SAME file or the chip mutual exclusion is void.
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "runbook_out", "tpu.lock")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd = os.open(path, os.O_CREAT | os.O_RDWR)
     deadline = time.time() + wait_s

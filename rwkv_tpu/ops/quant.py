@@ -269,6 +269,15 @@ _Q4_VARIANTS = ("auto", "two_dot", "two_dot_i8", "unpack")
 # materialization — measured SLOWER at 7B, 0.877x vs 0.952x q8, round-5
 # A/B; kept as a re-probe lever). Env: RWKV_TPU_Q4_TWO_DOT_IMPL.
 _Q4_TWO_DOT_IMPL = os.environ.get("RWKV_TPU_Q4_TWO_DOT_IMPL", "two_dot")
+if _Q4_TWO_DOT_IMPL not in ("two_dot", "two_dot_i8"):
+    # fail loudly at import: a typo'd env value would otherwise make
+    # 'auto' silently dispatch every above-crossover call to 'unpack'
+    # and mislabel an A/B cell (the same silent-fallback the explicit
+    # variant ValueError guards against).
+    raise ValueError(
+        "RWKV_TPU_Q4_TWO_DOT_IMPL must be 'two_dot' or 'two_dot_i8', "
+        f"got {_Q4_TWO_DOT_IMPL!r}"
+    )
 
 
 def set_q4_two_dot_min_k(k: int) -> int:

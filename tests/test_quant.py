@@ -244,3 +244,22 @@ def test_quant_against_reference_formula(rng):
     np.testing.assert_array_equal(np.asarray(q.w), expected_q)
     np.testing.assert_allclose(np.asarray(q.scale), ran.astype(np.float32), rtol=0)
     np.testing.assert_allclose(np.asarray(q.offset), mini2.astype(np.float32), rtol=0)
+
+
+def test_bad_two_dot_impl_env_rejected():
+    """A typo'd RWKV_TPU_Q4_TWO_DOT_IMPL must fail at import, not make
+    'auto' silently dispatch above-crossover calls to unpack (which would
+    mislabel an A/B probe cell)."""
+    import os
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import rwkv_tpu.ops.quant"],
+        env={**os.environ, "RWKV_TPU_Q4_TWO_DOT_IMPL": "i8"},
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode != 0
+    assert "RWKV_TPU_Q4_TWO_DOT_IMPL" in r.stderr
