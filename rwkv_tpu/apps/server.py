@@ -32,12 +32,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from rwkv_tpu.apps._common import add_model_args, build_engine
+
+# Request-body cap (bytes), enforced BEFORE buffering: prompts are text,
+# so 1 MiB is generous; anything larger is a mistake or an attack and
+# gets 413 without allocation. Env-overridable for unusual deployments.
+MAX_BODY_BYTES = int(os.environ.get("RWKV_TPU_SERVER_MAX_BODY",
+                                    str(1 << 20)))
 
 
 class PoolBusy(RuntimeError):
@@ -293,6 +300,14 @@ def make_handler(eng, lock, runner=None):
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_BODY_BYTES:
+                    # cap BEFORE buffering: an attacker-sized
+                    # Content-Length must not make the handler thread
+                    # allocate it (the body-size sibling of the pool's
+                    # queue-depth backpressure).
+                    return self._json(413, {
+                        "error": f"body too large ({n} > {MAX_BODY_BYTES})"
+                    })
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 return self._json(400, {"error": "bad json"})

@@ -93,6 +93,37 @@ def test_server_bad_requests(server):
     assert code == 400
 
 
+def test_server_body_size_cap(server):
+    """An attacker-sized Content-Length is rejected with 413 BEFORE the
+    handler buffers (or even receives) the body — the body-size sibling
+    of the pool's backpressure. Raw socket: the declared length alone
+    must trigger the rejection, no body bytes sent."""
+    import socket
+    from urllib.parse import urlparse
+
+    from rwkv_tpu.apps.server import MAX_BODY_BYTES
+
+    u = urlparse(server)
+    with socket.create_connection((u.hostname, u.port), timeout=10) as s:
+        s.sendall(
+            b"POST /tokenize HTTP/1.1\r\n"
+            + f"Host: {u.hostname}\r\n".encode()
+            + b"Content-Type: application/json\r\n"
+            + f"Content-Length: {MAX_BODY_BYTES + 1024}\r\n".encode()
+            + b"\r\n"  # headers done; never send the body
+        )
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+    status = resp.split(b"\r\n", 1)[0]
+    assert b"413" in status, resp[:200]
+    # a normal-size request still works
+    assert _post(server, "/tokenize", {"text": "hello"})[0] == 200
+
+
 @pytest.fixture(scope="module")
 def pooled_server():
     from http.server import ThreadingHTTPServer
