@@ -210,3 +210,15 @@ def test_shard_state_tp1_drops_model_axis(model):
         for ax in leaf.sharding.spec:
             axes = ax if isinstance(ax, tuple) else (ax,)
             assert "model" not in axes, leaf.sharding.spec
+
+
+def test_dryrun_multichip_raises_on_too_few_devices():
+    """__graft_entry__.dryrun_multichip forces the CPU platform itself when
+    the backend is uninitialized; once a backend exists (as in this suite)
+    it must fail LOUDLY, not fall through to a confusing mesh error, when
+    the device count can no longer be satisfied."""
+    import __graft_entry__ as g
+
+    assert len(jax.devices()) == 8  # backend initialized by the suite
+    with pytest.raises(RuntimeError, match="needs 16 devices"):
+        g.dryrun_multichip(16)
